@@ -1,0 +1,165 @@
+"""secp256k1 group ops in Jacobian coordinates over the limb field.
+
+TPU-native replacement for gECC's DEFINE_EC point types and the reference's
+per-thread mixed adds (/root/reference/src/cudasp_gpu.cu:44-64,124-172):
+batch-vectorized, branch-free (exception cases handled by lane selects, not
+divergence), and *complete* — doubling/infinity cases produce correct
+results instead of relying on inputs never colliding.
+
+A batch of Jacobian points is a JacPoint(x, y, z, inf) with coordinate
+arrays (NLIMBS, B) int32 and an (B,) bool infinity flag. Affine operands
+use AffinePoint(x, y, inf); shared per-query points use B=1 and broadcast.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from . import field as F
+
+
+class AffinePoint(NamedTuple):
+    x: jnp.ndarray
+    y: jnp.ndarray
+    inf: jnp.ndarray  # (B,) bool
+
+
+class JacPoint(NamedTuple):
+    x: jnp.ndarray
+    y: jnp.ndarray
+    z: jnp.ndarray
+    inf: jnp.ndarray  # (B,) bool
+
+
+def affine(x, y, inf=None) -> AffinePoint:
+    if inf is None:
+        inf = jnp.zeros(x.shape[1:], dtype=jnp.bool_)
+    return AffinePoint(x, y, inf)
+
+
+def to_jacobian(p: AffinePoint) -> JacPoint:
+    return JacPoint(p.x, p.y, F.one_like(p.x), p.inf)
+
+
+def infinity_like(x) -> JacPoint:
+    shape = x.shape[1:]
+    z = jnp.zeros((F.NLIMBS,) + shape, dtype=jnp.int32)
+    return JacPoint(z, z, z, jnp.ones(shape, dtype=jnp.bool_))
+
+
+def _bsel(mask, a, b):
+    return jnp.where(mask, a, b)
+
+
+def select_point(mask, p: JacPoint, q: JacPoint) -> JacPoint:
+    """Per-lane select: mask ? p : q."""
+    return JacPoint(
+        F.select(mask, p.x, q.x),
+        F.select(mask, p.y, q.y),
+        F.select(mask, p.z, q.z),
+        _bsel(mask, p.inf, q.inf),
+    )
+
+
+def dbl(p: JacPoint) -> JacPoint:
+    """a=0 Jacobian doubling (dbl-2009-l): 2M + 5S + smalls."""
+    a = F.sqr(p.x)
+    b = F.sqr(p.y)
+    c = F.sqr(b)
+    t = F.sqr(F.add(p.x, b))
+    d = F.mul_small(F.sub(F.sub(t, a), c), 2)
+    e = F.mul_small(a, 3)
+    f = F.sqr(e)
+    x3 = F.sub(f, F.mul_small(d, 2))
+    y3 = F.sub(F.mul(e, F.sub(d, x3)), F.mul_small(c, 8))
+    z3 = F.mul_small(F.mul(p.y, p.z), 2)
+    return JacPoint(x3, y3, z3, p.inf)
+
+
+def madd(p: JacPoint, q: AffinePoint) -> JacPoint:
+    """Complete mixed add p(Jacobian) + q(affine): 8M + 3S + completeness.
+
+    Handles: p at infinity, q at infinity, p == q (doubling), p == -q
+    (infinity). The reference's AddPointsAndGetX (src/cudasp_gpu.cu:44-64)
+    handles none of these."""
+    z1z1 = F.sqr(p.z)
+    u2 = F.mul(q.x, z1z1)
+    s2 = F.mul(q.y, F.mul(p.z, z1z1))
+    h = F.sub(u2, p.x)
+    r = F.sub(s2, p.y)
+    h_zero = F.is_zero(h)
+    r_zero = F.is_zero(r)
+
+    hh = F.sqr(h)
+    h3 = F.mul(h, hh)
+    v = F.mul(p.x, hh)
+    r2 = F.sqr(r)
+    x3 = F.sub(F.sub(r2, h3), F.mul_small(v, 2))
+    y3 = F.sub(F.mul(r, F.sub(v, x3)), F.mul(p.y, h3))
+    z3 = F.mul(p.z, h)
+    added = JacPoint(x3, y3, z3, jnp.zeros_like(p.inf))
+
+    # degenerate same-x cases
+    doubled = dbl(p)
+    same = h_zero & r_zero                    # p == q -> double
+    cancel = h_zero & ~r_zero                 # p == -q -> infinity
+    out = select_point(same, doubled, added)
+    out = select_point(cancel, infinity_like(p.x), out)
+    # operand-at-infinity cases
+    out = select_point(q.inf, p, out)
+    out = select_point(p.inf & ~q.inf, to_jacobian(q), out)
+    return out
+
+
+def jadd(p: JacPoint, q: JacPoint) -> JacPoint:
+    """Complete Jacobian + Jacobian add (add-2007-bl shape): 12M + 4S."""
+    z1z1 = F.sqr(p.z)
+    z2z2 = F.sqr(q.z)
+    u1 = F.mul(p.x, z2z2)
+    u2 = F.mul(q.x, z1z1)
+    s1 = F.mul(p.y, F.mul(q.z, z2z2))
+    s2 = F.mul(q.y, F.mul(p.z, z1z1))
+    h = F.sub(u2, u1)
+    r = F.sub(s2, s1)
+    h_zero = F.is_zero(h)
+    r_zero = F.is_zero(r)
+
+    hh = F.sqr(h)
+    h3 = F.mul(h, hh)
+    v = F.mul(u1, hh)
+    r2 = F.sqr(r)
+    x3 = F.sub(F.sub(r2, h3), F.mul_small(v, 2))
+    y3 = F.sub(F.mul(r, F.sub(v, x3)), F.mul(s1, h3))
+    z3 = F.mul(F.mul(p.z, q.z), h)
+    added = JacPoint(x3, y3, z3, jnp.zeros_like(p.inf))
+
+    doubled = dbl(p)
+    same = h_zero & r_zero
+    cancel = h_zero & ~r_zero
+    out = select_point(same, doubled, added)
+    out = select_point(cancel, infinity_like(p.x), out)
+    out = select_point(q.inf, p, out)
+    out = select_point(p.inf & ~q.inf, q, out)
+    return out
+
+
+def neg_affine(q: AffinePoint) -> AffinePoint:
+    return AffinePoint(q.x, F.neg(q.y), q.inf)
+
+
+def to_affine(p: JacPoint, zinv: jnp.ndarray = None, want_y: bool = True):
+    """Jacobian -> affine: x = X/Z^2, y = Y/Z^3. One batched Fermat
+    inversion unless a precomputed zinv is supplied (shared-inversion path,
+    F.inv_chain). Infinity lanes map to (0, 0)."""
+    if zinv is None:
+        zinv = F.inv(F.select(p.inf, F.one_like(p.z), p.z))
+    zi2 = F.sqr(zinv)
+    ax = F.mul(p.x, zi2)
+    ax = F.select(p.inf, F.zero_like(ax), ax)
+    if not want_y:
+        return AffinePoint(ax, F.zero_like(ax), p.inf)
+    ay = F.mul(p.y, F.mul(zinv, zi2))
+    ay = F.select(p.inf, F.zero_like(ay), ay)
+    return AffinePoint(ax, ay, p.inf)

@@ -1,0 +1,355 @@
+"""secp256k1 prime-field arithmetic, vectorized for TPU VPU lanes.
+
+Representation: a batch of field elements is an int32 array of shape
+``(NLIMBS, B)`` — 20 limbs of 13 bits each (256 bits -> 260), limb axis
+leading so the batch axis lands on TPU lanes. This is the TPU-native
+equivalent of gECC's 8xu32 column-major Montgomery field
+(/root/reference/src/cudasp_gpu.cu:16-26 and SURVEY.md §2.2), redesigned
+from scratch:
+
+  * 13-bit limbs keep every partial product and 20-term column sum exact in
+    int32 (no 64-bit integer support needed, unlike gECC's u32/u64 mix).
+  * No Montgomery form at all: secp256k1's p = 2^256 - 2^32 - 977 is
+    pseudo-Mersenne, so reduction is a cheap fold 2^256 == 2^32 + 977
+    (mod p). This removes the reference's to/from-Montgomery conversions
+    (src/cudasp_gpu.cu:110-116,257-258) entirely.
+
+Normal form invariant ("reduced"): all limbs in [0, ~2^13], which is
+mul-safe (20 * 8200^2 < 2^31). Values are only brought to canonical
+(< p, unique) form at serialization/comparison points.
+
+Broadcasting: shapes (NLIMBS, 1) and (NLIMBS, B) mix freely, so shared
+per-query constants (spend key, labels) stay unexpanded.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+# ---------------------------------------------------------------------------
+# Constants (computed, not hand-typed — the role of gECC's constants
+# generator, CMakeLists.txt:34-62).
+# ---------------------------------------------------------------------------
+
+LB = 13                      # bits per limb
+NLIMBS = 20                  # 20 * 13 = 260 >= 256
+MASK = (1 << LB) - 1         # 0x1FFF
+BASE = 1 << LB
+
+P_INT = 2**256 - 2**32 - 977
+# 2^260 == 2^4 * (2^32 + 977) == 2^36 + 15632 (mod p).
+#   2^36 = limb offset 2, shift 10 -> multiplier 1024 at limb k+2
+#   15632 at limb k
+FOLD20_LO = 15632
+FOLD20_HI = 1 << (36 - 2 * LB)   # 1024
+# 2^256 == 2^32 + 977 (mod p); 2^32 = limb 2 (bits 26..38) shift 6.
+FOLD256_LO = 977
+FOLD256_HI = 1 << (32 - 2 * LB)  # 64
+TOP_BITS = 256 - (NLIMBS - 1) * LB   # bits of limb 19 below 2^256: 9
+
+
+def int_to_limbs(v: int) -> np.ndarray:
+    """256-bit-ish integer -> (NLIMBS,) int32 canonical limbs."""
+    out = np.zeros(NLIMBS, dtype=np.int32)
+    for i in range(NLIMBS):
+        out[i] = v & MASK
+        v >>= LB
+    if v:
+        raise ValueError("value does not fit in NLIMBS limbs")
+    return out
+
+
+def limbs_to_int(limbs) -> int:
+    arr = np.asarray(limbs, dtype=np.int64).reshape(-1)
+    return sum(int(d) << (LB * i) for i, d in enumerate(arr))
+
+
+def _subtrahend_limbs(mult: int) -> np.ndarray:
+    """Borrow-proof limb representation D of mult*p with every non-top limb
+    >= 2*BASE, so per-limb a + D - b never goes negative for any operand with
+    limbs <= 2*BASE. Used by sub/neg."""
+    v = mult * P_INT
+    out = []
+    for _ in range(NLIMBS - 1):
+        out.append((v & MASK) + 2 * BASE)
+        v >>= LB
+        v -= 2
+    if v < 0:
+        raise ValueError("mult too small for borrow-proof form")
+    out.append(v)
+    d = np.array(out, dtype=np.int32)
+    assert limbs_to_int(d) == mult * P_INT
+    return d
+
+
+P_LIMBS = int_to_limbs(P_INT)                     # canonical p
+D8_LIMBS = _subtrahend_limbs(8)                   # 8p, borrow-proof
+
+_P_COL = jnp.asarray(P_LIMBS, dtype=jnp.int32)[:, None]
+_D8_COL = jnp.asarray(D8_LIMBS, dtype=jnp.int32)[:, None]
+
+# ---------------------------------------------------------------------------
+# Reduction primitives
+# ---------------------------------------------------------------------------
+
+
+def _carry(v: jnp.ndarray, out_len: int) -> jnp.ndarray:
+    """One carry-propagation pass (non-negative limbs). (K,B) -> (out_len,B).
+
+    Caller must ensure the dropped/kept length is sound: if out_len == K the
+    top limb must not produce a carry."""
+    lo = v & MASK
+    hi = v >> LB
+    k = v.shape[0]
+    z = jnp.zeros((1,) + v.shape[1:], dtype=v.dtype)
+    shifted = jnp.concatenate([z, hi], axis=0)      # (K+1, B)
+    lo = jnp.concatenate([lo, z], axis=0)
+    out = lo + shifted
+    if out_len >= k + 1:
+        pad = jnp.zeros((out_len - k - 1,) + v.shape[1:], dtype=v.dtype)
+        return jnp.concatenate([out, pad], axis=0)
+    return out[:out_len]
+
+
+def _fold20(v: jnp.ndarray) -> jnp.ndarray:
+    """Fold limbs >= NLIMBS back using 2^260 == 2^36 + 15632 (mod p).
+    (K,B) with limbs <= ~2^13.1 -> (max(NLIMBS, K-NLIMBS+2), B)."""
+    k = v.shape[0]
+    if k <= NLIMBS:
+        return v
+    lo = v[:NLIMBS]
+    hi = v[NLIMBS:]                                  # (k-20, B)
+    nh = hi.shape[0]
+    out_len = max(NLIMBS, nh + 2)
+    add_lo = jnp.zeros((out_len,) + v.shape[1:], dtype=v.dtype)
+    add_lo = add_lo.at[:NLIMBS].add(lo)
+    add_lo = add_lo.at[:nh].add(hi * FOLD20_LO)
+    add_lo = add_lo.at[2:2 + nh].add(hi * FOLD20_HI)
+    return add_lo
+
+
+def _fold256(v: jnp.ndarray) -> jnp.ndarray:
+    """Fold everything at/above bit 256 using 2^256 == 2^32 + 977 (mod p).
+    Input: (NLIMBS or NLIMBS+1+, B) with limbs small enough that the
+    folded quantity fits int32. Output: (NLIMBS, B) with top limb < 2^9."""
+    e = v[NLIMBS - 1] >> TOP_BITS
+    shift = LB - TOP_BITS  # contribution scale per extra limb: 2^(13-9)=16
+    for j in range(NLIMBS, v.shape[0]):
+        e = e + (v[j] << (shift + LB * (j - NLIMBS)))
+    out = v[:NLIMBS]
+    out = out.at[NLIMBS - 1].set(v[NLIMBS - 1] & ((1 << TOP_BITS) - 1))
+    out = out.at[0].add(e * FOLD256_LO)
+    out = out.at[2].add(e * FOLD256_HI)
+    return out
+
+
+def _finalize(v: jnp.ndarray) -> jnp.ndarray:
+    """(K,B) limbs <= ~2^13.1 -> normal form (NLIMBS,B), limbs <= ~2^13,
+    top limb < 2^9 + 1, value < 2^256 + small."""
+    v = _fold256(v)
+    v = _carry(v, NLIMBS)     # top limb < 2^9, cannot carry out
+    v = _carry(v, NLIMBS)
+    return v
+
+
+def _reduce_cols(cols: jnp.ndarray) -> jnp.ndarray:
+    """Full reduction of raw product columns (39,B) (each < 20*8200^2)."""
+    v = _carry(cols, cols.shape[0] + 1)   # limbs <= 8191 + ~167k
+    v = _carry(v, v.shape[0] + 1)         # limbs <= ~8212
+    v = _fold20(v)                        # (23,B), limbs <= ~1.4e8
+    v = _carry(v, v.shape[0] + 1)         # limbs <= ~25k
+    v = _carry(v, v.shape[0] + 1)         # limbs <= ~8194
+    v = _fold20(v)                        # (NLIMBS+?,B) small tail
+    v = _carry(v, v.shape[0] + 1)
+    v = _carry(v, v.shape[0])             # limbs <= ~8194, tail tiny
+    return _finalize(v)
+
+
+# ---------------------------------------------------------------------------
+# Arithmetic
+# ---------------------------------------------------------------------------
+
+
+def add(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """a + b (mod p), normal-form output. Inputs in normal form."""
+    s = a + b                      # limbs <= ~2^14.1
+    s = _carry(s, NLIMBS + 1)      # top carry possible when both tops ~2^9+
+    return _finalize(s)
+
+
+def sub(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """a - b (mod p). b limbs must be <= 2*BASE (any normal/add output)."""
+    s = a + (_D8_COL - b)
+    s = _carry(s, NLIMBS + 1)
+    return _finalize(s)
+
+
+def neg(b: jnp.ndarray) -> jnp.ndarray:
+    s = _D8_COL - b
+    s = _carry(s, NLIMBS + 1)
+    return _finalize(s)
+
+
+def mul_small(a: jnp.ndarray, c: int) -> jnp.ndarray:
+    """a * c for small positive c (<= ~64)."""
+    s = a * c
+    s = _carry(s, NLIMBS + 1)
+    s = _carry(s, NLIMBS + 1)
+    return _finalize(s)
+
+
+def mul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Full field multiply. Inputs normal form (limbs <= ~10000)."""
+    bshape = np.broadcast_shapes(a.shape[1:], b.shape[1:])
+    cols = jnp.zeros((2 * NLIMBS - 1,) + bshape, dtype=jnp.int32)
+    for i in range(NLIMBS):
+        cols = cols.at[i:i + NLIMBS].add(a[i][None] * b)
+    return _reduce_cols(cols)
+
+
+def sqr(a: jnp.ndarray) -> jnp.ndarray:
+    """Squaring: exploits symmetry (about half the limb products of mul)."""
+    cols = jnp.zeros((2 * NLIMBS - 1,) + a.shape[1:], dtype=jnp.int32)
+    for i in range(NLIMBS):
+        seg = a[i][None] * a[i:]              # products a_i*a_j, j >= i
+        seg = jnp.concatenate([seg[:1], seg[1:] * 2], axis=0)
+        cols = cols.at[2 * i: i + NLIMBS].add(seg)
+    return _reduce_cols(cols)
+
+
+def zero_like(a: jnp.ndarray) -> jnp.ndarray:
+    return jnp.zeros_like(a)
+
+
+def one_like(a: jnp.ndarray) -> jnp.ndarray:
+    o = jnp.zeros_like(a)
+    return o.at[0].set(1)
+
+
+def select(mask: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Elementwise field select; mask shape (B,) or broadcastable."""
+    return jnp.where(mask[None, :], a, b)
+
+
+# ---------------------------------------------------------------------------
+# Canonicalization / comparison
+# ---------------------------------------------------------------------------
+
+
+def _ripple_signed(v: jnp.ndarray, passes: int = NLIMBS) -> jnp.ndarray:
+    """Borrow/carry ripple valid for (possibly negative) limbs whose value is
+    known non-negative; arithmetic right shift implements floor division."""
+    def body(_, x):
+        lo = x & MASK
+        hi = x >> LB          # arithmetic shift: floor for negatives
+        z = jnp.zeros((1,) + x.shape[1:], dtype=x.dtype)
+        return lo + jnp.concatenate([z, hi[:-1]], axis=0)
+    return jax.lax.fori_loop(0, passes, body, v)
+
+
+def canonical(a: jnp.ndarray) -> jnp.ndarray:
+    """Unique representative < p, canonical 13-bit limbs. Input normal form."""
+    v = _finalize(a)                      # value < 2^256 + small, < 2p
+    v = _carry(v, NLIMBS)                 # positional limbs, no top carry
+    # compare v >= p (lexicographic from the top limb down)
+    diff = v - _P_COL
+    res = jnp.zeros(v.shape[1:], dtype=jnp.int32)
+    for i in range(NLIMBS - 1, -1, -1):
+        res = jnp.where(res == 0, jnp.sign(diff[i]), res)
+    ge = res >= 0
+    v = jnp.where(ge[None], diff, v)
+    return _ripple_signed(v)
+
+
+def is_zero(a: jnp.ndarray) -> jnp.ndarray:
+    """a == 0 (mod p) -> bool (B,). Input normal form."""
+    v = _finalize(a)
+    v = _carry(v, NLIMBS)
+    zero = jnp.all(v == 0, axis=0)
+    isp = jnp.all(v == _P_COL, axis=0)
+    return zero | isp
+
+
+def eq(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    return is_zero(sub(a, b))
+
+
+def is_odd(a: jnp.ndarray) -> jnp.ndarray:
+    """Parity of the canonical value."""
+    return (canonical(a)[0] & 1).astype(jnp.bool_)
+
+
+# ---------------------------------------------------------------------------
+# Inversion (Fermat: x^(p-2); batched across lanes, no divergence)
+# ---------------------------------------------------------------------------
+
+
+def _sqr_n(x: jnp.ndarray, n: int) -> jnp.ndarray:
+    if n <= 3:
+        for _ in range(n):
+            x = sqr(x)
+        return x
+    return jax.lax.fori_loop(0, n, lambda _, v: sqr(v), x)
+
+
+def inv(a: jnp.ndarray) -> jnp.ndarray:
+    """a^(p-2) via the standard secp256k1 addition chain (255S + 15M).
+    inv(0) == 0 (Fermat), which downstream code uses for infinity handling.
+    Replaces the reference's per-thread to_affine inversions
+    (/root/reference/src/cudasp_gpu.cu:62,147,343) with a batched,
+    divergence-free ladder."""
+    x = a
+    x2 = mul(sqr(x), x)                     # 2^2 - 1 ones
+    x3 = mul(sqr(x2), x)                    # 3 ones
+    x6 = mul(_sqr_n(x3, 3), x3)
+    x9 = mul(_sqr_n(x6, 3), x3)
+    x11 = mul(_sqr_n(x9, 2), x2)
+    x22 = mul(_sqr_n(x11, 11), x11)
+    x44 = mul(_sqr_n(x22, 22), x22)
+    x88 = mul(_sqr_n(x44, 44), x44)
+    x176 = mul(_sqr_n(x88, 88), x88)
+    x220 = mul(_sqr_n(x176, 44), x44)
+    x223 = mul(_sqr_n(x220, 3), x3)
+    t = mul(_sqr_n(x223, 23), x22)
+    t = mul(_sqr_n(t, 5), x)
+    t = mul(_sqr_n(t, 3), x2)
+    t = mul(_sqr_n(t, 2), x)
+    return t
+
+
+def inv_chain(zs):
+    """Montgomery-trick shared inversion of a short list of (NLIMBS,B)
+    elements: one Fermat ladder total + 3 muls per extra element.
+    Zero inputs are mapped to zero inverses (infinity-safe)."""
+    nz = [is_zero(z) for z in zs]
+    safe = [select(m, one_like(z), z) for m, z in zip(nz, zs)]
+    prefix = [safe[0]]
+    for z in safe[1:]:
+        prefix.append(mul(prefix[-1], z))
+    run = inv(prefix[-1])
+    out = [None] * len(zs)
+    for i in range(len(zs) - 1, 0, -1):
+        out[i] = mul(run, prefix[i - 1])
+        run = mul(run, safe[i])
+    out[0] = run
+    return [select(m, zero_like(o), o) for m, o in zip(nz, out)]
+
+
+# ---------------------------------------------------------------------------
+# Host <-> device packing
+# ---------------------------------------------------------------------------
+
+
+def pack_ints(vals, batch_last: bool = True) -> np.ndarray:
+    """List/array of python ints -> (NLIMBS, B) int32 numpy array."""
+    out = np.zeros((NLIMBS, len(vals)), dtype=np.int32)
+    for j, v in enumerate(vals):
+        out[:, j] = int_to_limbs(v)
+    return out
+
+
+def unpack_ints(arr) -> list:
+    a = np.asarray(arr)
+    return [limbs_to_int(a[:, j]) for j in range(a.shape[1])]

@@ -2,14 +2,26 @@
 
 Real TPU hardware is exercised by bench.py and the driver's compile checks;
 the test suite validates correctness + sharding on host CPU.
+
+Note: this environment's sitecustomize registers the 'axon' TPU platform at
+interpreter startup (and may import jax machinery), so setting JAX_PLATFORMS
+via the environment is unreliable — we force the platform through
+jax.config, which works post-import.
 """
 
 import os
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+# Persistent compilation cache: the limb-arithmetic graphs are large; this
+# makes repeat test runs start in seconds instead of minutes.
+jax.config.update("jax_compilation_cache_dir", "/tmp/cudasp_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

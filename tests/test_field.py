@@ -1,0 +1,109 @@
+"""Field-arithmetic unit tests: device limb ops vs Python bignum oracle.
+
+(The unit-test tier the reference lacks — SURVEY.md §4 'implication'.)
+"""
+
+import random
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from cudasp_tpu.ops import field as F
+
+P = F.P_INT
+B = 32
+random.seed(20260817)
+VALS_A = [random.randrange(P) for _ in range(B - 4)] + [0, 1, P - 1, P - 2]
+VALS_B = [random.randrange(P) for _ in range(B - 4)] + [P - 1, 0, 1, 2]
+
+
+@pytest.fixture(scope="module")
+def results():
+    a = jnp.asarray(F.pack_ints(VALS_A))
+    b = jnp.asarray(F.pack_ints(VALS_B))
+
+    @jax.jit
+    def run(a, b):
+        return dict(
+            add=F.canonical(F.add(a, b)),
+            sub=F.canonical(F.sub(a, b)),
+            neg=F.canonical(F.neg(b)),
+            mul=F.canonical(F.mul(a, b)),
+            sqr=F.canonical(F.sqr(a)),
+            mul8=F.canonical(F.mul_small(a, 8)),
+            inv=F.canonical(F.inv(a)),
+            chain_limb_max=jnp.max(F.mul(F.add(a, b), F.sub(a, b))),
+            iszero_aa=F.is_zero(F.sub(a, a)),
+            iszero_ab=F.is_zero(F.sub(a, b)),
+            odd=F.is_odd(a),
+            invc=[F.canonical(x) for x in F.inv_chain([a, b])],
+            bcast=F.canonical(F.mul(a, b[:, :1])),
+        )
+
+    out = run(a, b)
+    return jax.tree_util.tree_map(np.asarray, out)
+
+
+def _check(got_arr, expect_fn):
+    got = F.unpack_ints(got_arr)
+    exp = [expect_fn(x, y) % P for x, y in zip(VALS_A, VALS_B)]
+    assert got == exp
+
+
+def test_add(results):
+    _check(results["add"], lambda x, y: x + y)
+
+
+def test_sub(results):
+    _check(results["sub"], lambda x, y: x - y)
+
+
+def test_neg(results):
+    _check(results["neg"], lambda x, y: -y)
+
+
+def test_mul(results):
+    _check(results["mul"], lambda x, y: x * y)
+
+
+def test_sqr(results):
+    _check(results["sqr"], lambda x, y: x * x)
+
+
+def test_mul_small(results):
+    _check(results["mul8"], lambda x, y: 8 * x)
+
+
+def test_inv(results):
+    _check(results["inv"], lambda x, y: pow(x, P - 2, P) if x else 0)
+
+
+def test_inv_chain(results):
+    _check(results["invc"][0], lambda x, y: pow(x, P - 2, P) if x else 0)
+    _check(results["invc"][1], lambda x, y: pow(y, P - 2, P) if y else 0)
+
+
+def test_limb_bounds_mul_safe(results):
+    assert int(results["chain_limb_max"]) <= 10000
+
+
+def test_is_zero(results):
+    assert results["iszero_aa"].all()
+    assert not results["iszero_ab"].any()
+
+
+def test_is_odd(results):
+    assert all((v & 1) == bool(o) for v, o in zip(VALS_A, results["odd"]))
+
+
+def test_broadcast_shared_operand(results):
+    got = F.unpack_ints(results["bcast"])
+    exp = [(x * VALS_B[0]) % P for x in VALS_A]
+    assert got == exp
+
+
+def test_pack_unpack_roundtrip():
+    vals = [0, 1, P - 1, 2**255, 12345678901234567890]
+    assert F.unpack_ints(F.pack_ints(vals)) == vals
