@@ -1,0 +1,140 @@
+#!/usr/bin/env python
+"""Benchmark: BIP-352 scan throughput vs the reference's headline number.
+
+Reference baseline: 2,622,216 tx/s on a 32.7M-row scan (2x RTX 5090,
+/root/reference/README.md:134; BASELINE.md). Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "tx/s", "vs_baseline": N}
+
+Synthetic dataset: rows cycle through a pool of distinct tweak points;
+~1% of rows carry a planted matching value (oracle-computed per distinct
+point), the rest carry random candidates. Matching correctness is asserted
+before timing is reported.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_TXS = 2_622_216.0
+
+
+def make_dataset(n_rows, pool=256, match_every=100, outputs_per_row=3,
+                 seed=7, scan_key=None, spend=None):
+    from cudasp_tpu.oracle import ec as O
+    from cudasp_tpu.oracle.encoding import point_to_blob64
+    from cudasp_tpu.oracle.pipeline import candidate_values
+
+    rng = np.random.default_rng(seed)
+    g = (O.GX, O.GY)
+    # distinct tweak points (k*G for random k) and their oracle match values
+    ks = rng.integers(1, 2**62, size=pool)
+    points = [O.ec_mul(g, int(k)) for k in ks]
+    blobs = np.stack([
+        np.frombuffer(point_to_blob64(p), np.uint8) for p in points
+    ])
+    values = np.asarray(
+        [candidate_values(p, scan_key, spend)[0] for p in points],
+        np.int64,
+    )
+
+    row_pool = rng.integers(0, pool, size=n_rows)
+    tweaks = blobs[row_pool]
+
+    flat = rng.integers(-2**62, 2**62, size=n_rows * outputs_per_row,
+                        dtype=np.int64)
+    offsets = np.arange(n_rows + 1, dtype=np.int64) * outputs_per_row
+    is_match = np.zeros(n_rows, bool)
+    is_match[::match_every] = True
+    # plant the true value in the first slot of matching rows
+    flat[offsets[:-1][is_match]] = values[row_pool[is_match]]
+    return tweaks, flat, offsets, is_match
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=1_000_000)
+    ap.add_argument("--batch-size", type=int, default=262_144)
+    ap.add_argument("--labels", type=int, default=0)
+    ap.add_argument("--pool", type=int, default=256)
+    ap.add_argument("--repeats", type=int, default=1)
+    ap.add_argument("--platform", default=None,
+                    help="force jax platform (e.g. cpu)")
+    args = ap.parse_args()
+
+    if args.platform:
+        import os
+
+        os.environ["JAX_PLATFORMS"] = args.platform
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    import jax
+
+    from cudasp_tpu import scan
+    from cudasp_tpu.oracle import vectors as V
+    from cudasp_tpu.oracle.encoding import blob32_to_scalar, blob64_to_point
+
+    scan_key = blob32_to_scalar(V.SCAN_KEY_BIP352)
+    spend = blob64_to_point(V.SPEND_BIP352)
+    label_blobs = [V.LABEL2] * args.labels
+
+    print(f"# devices: {jax.devices()}", file=sys.stderr)
+    t0 = time.time()
+    tweaks, flat, offsets, is_match = make_dataset(
+        args.rows, pool=args.pool, scan_key=scan_key, spend=spend)
+    print(f"# dataset gen: {time.time()-t0:.1f}s", file=sys.stderr)
+
+    table = {"tweak_key": tweaks, "outputs": (flat, offsets)}
+
+    # warm-up run (compile) on a small slice
+    warm = {
+        "tweak_key": tweaks[: 4096],
+        "outputs": (flat[: offsets[4096]], offsets[: 4097]),
+    }
+    t0 = time.time()
+    scan(warm, V.SCAN_KEY_BIP352, V.SPEND_BIP352, label_blobs,
+         batch_size=args.batch_size)
+    print(f"# warmup (compile): {time.time()-t0:.1f}s", file=sys.stderr)
+
+    best = None
+    for _ in range(args.repeats):
+        t0 = time.time()
+        res = scan(table, V.SCAN_KEY_BIP352, V.SPEND_BIP352, label_blobs,
+                   batch_size=args.batch_size)
+        dt = time.time() - t0
+        best = min(best, dt) if best else dt
+        m = res.metrics
+        print(f"# run: {dt:.2f}s pack={m.pack_seconds:.2f}s "
+              f"device={m.device_seconds:.2f}s matches={m.matches}",
+              file=sys.stderr)
+        expected = np.flatnonzero(is_match)
+        got = np.asarray(res.indices)
+        if not np.array_equal(got, expected):
+            print(f"# MISMATCH: expected {len(expected)} matches, "
+                  f"got {len(got)}", file=sys.stderr)
+            print(json.dumps({
+                "metric": "scan_throughput", "value": 0,
+                "unit": "tx/s", "vs_baseline": 0.0,
+                "error": "match verification failed",
+            }))
+            return 1
+
+    txs = args.rows / best
+    print(json.dumps({
+        "metric": "scan_throughput",
+        "value": round(txs, 1),
+        "unit": "tx/s",
+        "vs_baseline": round(txs / BASELINE_TXS, 4),
+        "rows": args.rows,
+        "seconds": round(best, 3),
+        "batch_size": args.batch_size,
+        "labels": args.labels,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

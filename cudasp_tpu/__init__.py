@@ -13,4 +13,6 @@ Public API:
 
 __version__ = "0.1.0"
 
-__all__ = ["__version__"]
+from .api import scan, ScanConfig, ScanResult  # noqa: F401,E402
+
+__all__ = ["scan", "ScanConfig", "ScanResult", "__version__"]

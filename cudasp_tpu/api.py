@@ -1,0 +1,197 @@
+"""Public scan API — the L5 surface of the engine.
+
+`scan(...)` is the TPU-native equivalent of the reference's SQL table
+function (cudasp_scan, /root/reference/src/cudasp_extension.cu:626-635;
+README.md:70-119): table in, matching (txid, height, tweak_key) rows out.
+Same wire formats, same semantics, defined (non-UB) degenerate cases.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+from .io import ingest
+from .runtime.errors import BindError, IngestError
+from .runtime.executor import BatchExecutor
+from .runtime.metrics import ScanMetrics, Timer
+
+DEFAULT_BATCH_SIZE = 300_000       # reference default (cudasp_extension.cu:88)
+MAX_BATCH_SIZE = 10_000_000        # reference cap (cudasp_extension.cu:485)
+
+
+@dataclass
+class ScanConfig:
+    batch_size: int = DEFAULT_BATCH_SIZE
+    max_outputs: int = 8            # padded outputs width (long lists split)
+    mesh: object = None             # jax.sharding.Mesh for data sharding
+    fused: bool = False             # single-program pipeline variant
+    collect_metrics: bool = True
+
+
+@dataclass
+class ScanResult:
+    """Matching rows, in input order (deterministic, unlike the reference's
+    batch-completion order, src/cudasp_extension.cu:384-390)."""
+    indices: np.ndarray             # (m,) int64 row indices into the input
+    txid: Optional[np.ndarray]
+    height: Optional[np.ndarray]
+    tweak_key: Optional[np.ndarray]
+    metrics: Optional[ScanMetrics] = None
+
+    def __len__(self) -> int:
+        return len(self.indices)
+
+
+def _normalize_blob_column(col, width: int, name: str) -> np.ndarray:
+    """Accepts (n, width) uint8 arrays, lists of bytes, or object arrays."""
+    if isinstance(col, np.ndarray) and col.dtype == np.uint8 and col.ndim == 2:
+        if col.shape[1] != width:
+            raise IngestError(f"{name}: expected width {width}, got {col.shape[1]}")
+        return col
+    try:
+        rows = [bytes(b) for b in col]
+    except TypeError as e:
+        raise IngestError(f"{name}: unsupported column type {type(col)}") from e
+    bad = [i for i, b in enumerate(rows) if len(b) != width]
+    if bad:
+        raise IngestError(
+            f"{name}: row {bad[0]} has {len(rows[bad[0]])} bytes, expected {width}"
+        )
+    if not rows:
+        return np.zeros((0, width), np.uint8)
+    return np.frombuffer(b"".join(rows), np.uint8).reshape(len(rows), width)
+
+
+def _normalize_outputs(col) -> Tuple[np.ndarray, np.ndarray]:
+    """outputs column -> CSR (flat int64, offsets). Accepts (flat, offsets)
+    tuples, pyarrow ListArrays/ChunkedArrays, or sequences of sequences."""
+    if isinstance(col, tuple) and len(col) == 2:
+        flat = np.asarray(col[0], dtype=np.int64)
+        offsets = np.asarray(col[1], dtype=np.int64)
+        return flat, offsets
+    # pyarrow (optional dependency) — duck-typed
+    values = getattr(col, "values", None)
+    offsets = getattr(col, "offsets", None)
+    if values is not None and offsets is not None:
+        return (np.asarray(values, dtype=np.int64),
+                np.asarray(offsets, dtype=np.int64))
+    return ingest.outputs_to_csr(list(col))
+
+
+def _table_columns(table) -> Dict[str, object]:
+    """dict-like or pyarrow.Table -> column mapping."""
+    if hasattr(table, "column_names") and hasattr(table, "column"):
+        cols = {}
+        for name in table.column_names:
+            c = table.column(name)
+            if hasattr(c, "combine_chunks"):
+                c = c.combine_chunks()
+            cols[name] = c
+        return cols
+    if isinstance(table, dict):
+        return table
+    raise IngestError(f"unsupported table type {type(table)}")
+
+
+def scan(
+    table,
+    scan_private_key: bytes,
+    spend_public_key: bytes,
+    label_keys: Sequence[bytes] = (),
+    *,
+    batch_size: Optional[int] = None,
+    config: Optional[ScanConfig] = None,
+) -> ScanResult:
+    """Scan `table` for BIP-352 silent-payment matches.
+
+    table: mapping (or pyarrow.Table) with columns
+        txid      — arbitrary per-row ids (passed through)
+        height    — int (passed through)
+        tweak_key — 64-byte blobs (LE x || LE y uncompressed point)
+        outputs   — per-row variable-length int64 lists
+    scan_private_key: 32-byte LE scalar blob
+    spend_public_key: 64-byte LE point blob
+    label_keys: 64-byte LE point blobs
+
+    Argument validation mirrors the reference binder
+    (src/cudasp_extension.cu:420-509)."""
+    cfg = config or ScanConfig()
+    if batch_size is not None:
+        cfg.batch_size = batch_size
+    if not (0 < cfg.batch_size <= MAX_BATCH_SIZE):
+        raise BindError(
+            f"batch_size must be in (0, {MAX_BATCH_SIZE}], got {cfg.batch_size}")
+    if len(bytes(scan_private_key)) != 32:
+        raise BindError("scan_private_key must be exactly 32 bytes")
+    if len(bytes(spend_public_key)) != 64:
+        raise BindError("spend_public_key must be exactly 64 bytes")
+    for i, lk in enumerate(label_keys):
+        if len(bytes(lk)) != 64:
+            raise BindError(f"label_keys[{i}] must be exactly 64 bytes")
+
+    metrics = ScanMetrics(batch_size=cfg.batch_size) if cfg.collect_metrics else None
+    timer = Timer()
+
+    cols = _table_columns(table)
+    for required in ("tweak_key", "outputs"):
+        if required not in cols:
+            raise IngestError(f"missing required column '{required}'")
+    tweaks = _normalize_blob_column(cols["tweak_key"], 64, "tweak_key")
+    flat, offsets = _normalize_outputs(cols["outputs"])
+    n = tweaks.shape[0]
+    if len(offsets) != n + 1:
+        raise IngestError(
+            f"outputs offsets length {len(offsets)} != rows+1 ({n + 1})")
+
+    keys = ingest.pack_query_keys(scan_private_key, spend_public_key, label_keys)
+    windows, spend_x, spend_y, lx, ly, nlabels = keys
+
+    # Pad the batch shape to a power of two (>=128) so small/ragged tables
+    # reuse a handful of compiled shapes instead of one program per n.
+    def _pow2_at_least(v, lo=128):
+        p = lo
+        while p < v:
+            p *= 2
+        return p
+
+    eff_batch = min(_pow2_at_least(cfg.batch_size), _pow2_at_least(max(n, 1)))
+    batches = ingest.pack_rows(tweaks, flat, offsets,
+                               batch_size=eff_batch,
+                               max_outputs=cfg.max_outputs)
+    if metrics is not None:
+        metrics.rows_in = n
+        metrics.rows_scanned = sum(b.n_valid for b in batches)
+        metrics.pack_seconds = timer.lap()
+
+    executor = BatchExecutor(mesh=cfg.mesh, fused=cfg.fused)
+    flag_arrays = executor.run(batches, windows, spend_x, spend_y, lx, ly,
+                               nlabels, metrics=metrics)
+
+    matched: List[np.ndarray] = []
+    for b, flags in zip(batches, flag_arrays):
+        matched.append(b.source_rows[flags & (b.source_rows >= 0)])
+    idx = (np.unique(np.concatenate(matched)) if matched
+           else np.zeros(0, np.int64))
+
+    def _take(name):
+        if name not in cols:
+            return None
+        col = cols[name]
+        if isinstance(col, np.ndarray):
+            return col[idx]
+        arr = np.asarray(col)
+        return arr[idx]
+
+    if metrics is not None:
+        metrics.matches = len(idx)
+        metrics.total_seconds = metrics.pack_seconds + timer.lap()
+    return ScanResult(
+        indices=idx,
+        txid=_take("txid"),
+        height=_take("height"),
+        tweak_key=tweaks[idx] if len(idx) else np.zeros((0, 64), np.uint8),
+        metrics=metrics,
+    )

@@ -338,6 +338,41 @@ def inv_chain(zs):
 
 
 # ---------------------------------------------------------------------------
+# On-device bit repacking (pure reinterpretation; the reference does the
+# equivalent on the host with a D2H/H2D round trip, src/cudasp_gpu.cu:836-911)
+# ---------------------------------------------------------------------------
+
+
+def limbs_to_words_be(x: jnp.ndarray) -> jnp.ndarray:
+    """Canonical limbs (NLIMBS,B) -> (8,B) uint32 big-endian words
+    (word 0 = bits 224..255). Input MUST be canonical (13-bit limbs)."""
+    xu = x.astype(jnp.uint32)
+    words = []
+    for j in range(8):
+        lo_bit = 32 * (7 - j)
+        acc = None
+        for i in range(NLIMBS):
+            limb_lo = LB * i
+            if limb_lo + LB <= lo_bit or limb_lo >= lo_bit + 32:
+                continue
+            s = limb_lo - lo_bit
+            part = (xu[i] << np.uint32(s)) if s >= 0 else (xu[i] >> np.uint32(-s))
+            acc = part if acc is None else (acc | part)
+        words.append(acc)
+    return jnp.stack(words, axis=0)
+
+
+def words_be_to_bytes(words) -> jnp.ndarray:
+    """8 big-endian uint32 words ((8,B) array or length-8 sequence) ->
+    (32,B) int32 bytes, MSB first."""
+    rows = []
+    for i in range(32):
+        w = words[i // 4]
+        rows.append(((w >> np.uint32(8 * (3 - i % 4))) & np.uint32(0xFF)))
+    return jnp.stack(rows, axis=0).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
 # Host <-> device packing
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,163 @@
+"""Batched scalar multiplication: shared-scalar ECDH + fixed-base comb.
+
+TPU-native replacement for gECC's Solver (ec_pmul/fixed_point_mult,
+/root/reference/src/cudasp_gpu.cu:764-784,318-354):
+
+  * ecdh_shared_scalar: s x P for a batch of per-row points P sharing ONE
+    scalar s (the scan key). The reference replicates the scalar per row
+    and runs a generic pmul (src/cudasp_gpu.cu:719-732); here the window
+    schedule is hoisted to the host, so per-iteration table selection is a
+    single dynamic_slice with a shared index — uniform control flow, zero
+    divergence, no per-row scalar storage.
+  * fixed_base_mul: t x G for per-row 256-bit scalars t via a positional
+    8-bit comb (32 windows x 256 precomputed points -> NO doublings at
+    all; the reference's table walk still doubles). Table selection is a
+    one-hot matmul, which XLA places on the MXU.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..oracle import ec as O
+from . import curve as C
+from . import field as F
+
+WINDOW_BITS = 4                       # ECDH fixed windows
+N_WINDOWS = 256 // WINDOW_BITS        # 64
+COMB_WINDOWS = 32                     # fixed-base comb: one window per byte
+
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "_cache")
+
+
+def scalar_to_windows(k: int) -> np.ndarray:
+    """Raw 256-bit scalar -> (64,) int32 base-16 digits, most significant
+    first. Raw (not reduced mod n), matching the reference's use of the raw
+    scan key (src/cudasp_gpu.cu:719-732); k*P is identical either way."""
+    if not 0 <= k < 2**256:
+        raise ValueError("scalar out of range")
+    return np.array(
+        [(k >> (WINDOW_BITS * (N_WINDOWS - 1 - i))) & (2**WINDOW_BITS - 1)
+         for i in range(N_WINDOWS)],
+        dtype=np.int32,
+    )
+
+
+def _build_window_table(base: C.AffinePoint):
+    """Per-row table [0..15]*P as stacked (16, NLIMBS, B) arrays.
+
+    Built with a scan (T_{k+1} = T_k + P) so the add is traced once."""
+    t1 = C.to_jacobian(base)
+
+    def step(prev, _):
+        nxt = C.madd(prev, base)
+        return nxt, nxt
+
+    _, rest = jax.lax.scan(step, t1, None, length=14)   # T2..T15
+    inf = C.infinity_like(base.x)
+
+    def stack(field_idx):
+        return jnp.concatenate(
+            [inf[field_idx][None], t1[field_idx][None], rest[field_idx]],
+            axis=0,
+        )
+
+    return C.JacPoint(stack(0), stack(1), stack(2), stack(3))
+
+
+def ecdh_shared_scalar(windows: jnp.ndarray, base: C.AffinePoint) -> C.JacPoint:
+    """windows: (64,) int32 shared digit schedule; base: per-row points.
+
+    Returns s x P (Jacobian). Rows where base.inf stay at infinity."""
+    table = _build_window_table(base)
+
+    def step(acc, digit):
+        for _ in range(WINDOW_BITS):
+            acc = C.dbl(acc)
+        q = C.JacPoint(
+            jax.lax.dynamic_index_in_dim(table.x, digit, 0, keepdims=False),
+            jax.lax.dynamic_index_in_dim(table.y, digit, 0, keepdims=False),
+            jax.lax.dynamic_index_in_dim(table.z, digit, 0, keepdims=False),
+            jax.lax.dynamic_index_in_dim(table.inf, digit, 0, keepdims=False),
+        )
+        return C.jadd(acc, q), None
+
+    acc = C.infinity_like(base.x)
+    acc, _ = jax.lax.scan(step, acc, windows)
+    return acc
+
+
+# ---------------------------------------------------------------------------
+# Fixed-base comb for t x G
+# ---------------------------------------------------------------------------
+
+
+def _gen_comb_table_np() -> np.ndarray:
+    """(32, 2*NLIMBS, 256) int32: window i, entry b = b * 2^(8*(31-i)) * G,
+    x limbs then y limbs; entry 0 is (0,0) (infinity, flagged by b==0).
+
+    Generated from the oracle (the role of gECC's precomputed
+    ECDSACONST.d_mul_table, src/cudasp_gpu.cu:317), cached on disk."""
+    cache = os.path.join(_CACHE_DIR, "comb_g_v1.npz")
+    if os.path.exists(cache):
+        return np.load(cache)["table"]
+    out = np.zeros((COMB_WINDOWS, 2 * F.NLIMBS, 256), dtype=np.int32)
+    g = (O.GX, O.GY)
+    for i in range(COMB_WINDOWS):
+        base = O.ec_mul(g, 1 << (8 * (COMB_WINDOWS - 1 - i)))
+        acc = None
+        for b in range(1, 256):
+            acc = O.ec_add(acc, base)
+            out[i, : F.NLIMBS, b] = F.int_to_limbs(acc[0])
+            out[i, F.NLIMBS:, b] = F.int_to_limbs(acc[1])
+    os.makedirs(_CACHE_DIR, exist_ok=True)
+    np.savez_compressed(cache, table=out)
+    return out
+
+
+_comb_np_cache = None
+
+
+def comb_table() -> jnp.ndarray:
+    """f32 version of the comb table for one-hot MXU selection.
+
+    Only the numpy table is cached — the jnp conversion happens per call so
+    that a tracer is never captured in module state when first invoked
+    inside a jit trace."""
+    global _comb_np_cache
+    if _comb_np_cache is None:
+        _comb_np_cache = _gen_comb_table_np().astype(np.float32)
+    return jnp.asarray(_comb_np_cache)
+
+
+def fixed_base_mul(scalar_bytes: jnp.ndarray) -> C.JacPoint:
+    """scalar_bytes: (32, B) int32 big-endian bytes of per-row scalars t.
+
+    Returns t x G (Jacobian): 32 one-hot MXU selects + 31 complete adds,
+    no doublings."""
+    table = comb_table()                      # (32, 2N, 256) f32
+    iota = jax.lax.broadcasted_iota(
+        jnp.int32, (256, scalar_bytes.shape[1]), 0
+    )
+
+    def step(acc, inputs):
+        tab_i, byte_row = inputs              # (2N,256) f32, (B,) int32
+        onehot = (iota == byte_row[None, :]).astype(jnp.float32)
+        sel = jax.lax.dot_general(
+            tab_i, onehot,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)                   # (2N, B)
+        q = C.AffinePoint(
+            sel[: F.NLIMBS], sel[F.NLIMBS:], byte_row == 0
+        )
+        return C.madd(acc, q), None
+
+    batch = scalar_bytes.shape[1]
+    acc = C.infinity_like(jnp.zeros((F.NLIMBS, batch), jnp.int32))
+    acc, _ = jax.lax.scan(step, acc, (table, scalar_bytes))
+    return acc
