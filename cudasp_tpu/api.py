@@ -29,6 +29,10 @@ class ScanConfig:
     mesh: object = None             # jax.sharding.Mesh for data sharding
     fused: bool = False             # single-program pipeline variant
     collect_metrics: bool = True
+    # Internal device-batch tile. Fixed so XLA compiles one program shape
+    # regardless of table size (TPU compile time scales with batch width);
+    # multiple tiles stream through the executor's async-dispatch window.
+    tile: int = 8192
 
 
 @dataclass
@@ -157,7 +161,8 @@ def scan(
             p *= 2
         return p
 
-    eff_batch = min(_pow2_at_least(cfg.batch_size), _pow2_at_least(max(n, 1)))
+    eff_batch = min(_pow2_at_least(cfg.batch_size),
+                    _pow2_at_least(max(n, 1)), cfg.tile)
     batches = ingest.pack_rows(tweaks, flat, offsets,
                                batch_size=eff_batch,
                                max_outputs=cfg.max_outputs)

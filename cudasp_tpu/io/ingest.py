@@ -165,7 +165,7 @@ def pack_query_keys(scan_key_blob: bytes, spend_blob: bytes,
     from ..ops import scalar as S
 
     k = blob32_to_scalar(bytes(scan_key_blob))
-    windows = S.scalar_to_windows(k)
+    windows = S.glv_windows(k)   # (w1, sign1, w2, sign2) pytree
     sx, sy = blob64_to_point(bytes(spend_blob))
     spend_x = F.int_to_limbs(sx)[:, None]
     spend_y = F.int_to_limbs(sy)[:, None]

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from . import field as F
@@ -78,6 +79,28 @@ def dbl(p: JacPoint) -> JacPoint:
     return JacPoint(x3, y3, z3, p.inf)
 
 
+def _apply_degenerate(p, q_promoted, q_inf, h_zero, r_zero, added):
+    """Shared completeness epilogue: doubling/cancel/infinity lane fixups.
+
+    The doubling branch is gated on a batch-level any() so its 2M+5S cost
+    is only paid when some lane actually hits p == q (essentially never on
+    real scan data) — branch-free per lane, branchy per batch."""
+    same = h_zero & r_zero                    # p == q -> double
+    cancel = h_zero & ~r_zero                 # p == -q -> infinity
+
+    def with_double(_):
+        return select_point(same, dbl(p), added)
+
+    def without_double(_):
+        return added
+
+    out = jax.lax.cond(jnp.any(same), with_double, without_double, None)
+    out = select_point(cancel, infinity_like(p.x), out)
+    out = select_point(q_inf, p, out)
+    out = select_point(p.inf & ~q_inf, q_promoted, out)
+    return out
+
+
 def madd(p: JacPoint, q: AffinePoint) -> JacPoint:
     """Complete mixed add p(Jacobian) + q(affine): 8M + 3S + completeness.
 
@@ -100,17 +123,26 @@ def madd(p: JacPoint, q: AffinePoint) -> JacPoint:
     y3 = F.sub(F.mul(r, F.sub(v, x3)), F.mul(p.y, h3))
     z3 = F.mul(p.z, h)
     added = JacPoint(x3, y3, z3, jnp.zeros_like(p.inf))
+    return _apply_degenerate(p, to_jacobian(q), q.inf, h_zero, r_zero, added)
 
-    # degenerate same-x cases
-    doubled = dbl(p)
-    same = h_zero & r_zero                    # p == q -> double
-    cancel = h_zero & ~r_zero                 # p == -q -> infinity
-    out = select_point(same, doubled, added)
-    out = select_point(cancel, infinity_like(p.x), out)
-    # operand-at-infinity cases
-    out = select_point(q.inf, p, out)
-    out = select_point(p.inf & ~q.inf, to_jacobian(q), out)
-    return out
+
+def madd_fast(p: JacPoint, q: AffinePoint) -> JacPoint:
+    """Incomplete mixed add (8M+3S) for call sites where p != +-q and both
+    are finite BY CONSTRUCTION (e.g. window-table chains kP + P, k >= 2,
+    with P of prime order n: kP == +-P would need k == +-1 mod n)."""
+    z1z1 = F.sqr(p.z)
+    u2 = F.mul(q.x, z1z1)
+    s2 = F.mul(q.y, F.mul(p.z, z1z1))
+    h = F.sub(u2, p.x)
+    r = F.sub(s2, p.y)
+    hh = F.sqr(h)
+    h3 = F.mul(h, hh)
+    v = F.mul(p.x, hh)
+    r2 = F.sqr(r)
+    x3 = F.sub(F.sub(r2, h3), F.mul_small(v, 2))
+    y3 = F.sub(F.mul(r, F.sub(v, x3)), F.mul(p.y, h3))
+    z3 = F.mul(p.z, h)
+    return JacPoint(x3, y3, z3, p.inf | q.inf)
 
 
 def jadd(p: JacPoint, q: JacPoint) -> JacPoint:
@@ -134,15 +166,7 @@ def jadd(p: JacPoint, q: JacPoint) -> JacPoint:
     y3 = F.sub(F.mul(r, F.sub(v, x3)), F.mul(s1, h3))
     z3 = F.mul(F.mul(p.z, q.z), h)
     added = JacPoint(x3, y3, z3, jnp.zeros_like(p.inf))
-
-    doubled = dbl(p)
-    same = h_zero & r_zero
-    cancel = h_zero & ~r_zero
-    out = select_point(same, doubled, added)
-    out = select_point(cancel, infinity_like(p.x), out)
-    out = select_point(q.inf, p, out)
-    out = select_point(p.inf & ~q.inf, q, out)
-    return out
+    return _apply_degenerate(p, q, q.inf, h_zero, r_zero, added)
 
 
 def neg_affine(q: AffinePoint) -> AffinePoint:

@@ -29,7 +29,18 @@ from . import field as F
 
 WINDOW_BITS = 4                       # ECDH fixed windows
 N_WINDOWS = 256 // WINDOW_BITS        # 64
+GLV_WINDOWS = 128 // WINDOW_BITS      # 32 per half-scalar
 COMB_WINDOWS = 32                     # fixed-base comb: one window per byte
+
+# secp256k1 GLV endomorphism: lambda*(x, y) = (beta*x, y), lambda^3 = 1
+# (mod n), beta^3 = 1 (mod p). Public constants (e.g. libsecp256k1).
+GLV_LAMBDA = 0x5363AD4CC05C30E0A5261C028812645A122E22EA20816678DF02967C1B23BD72
+GLV_BETA = 0x7AE96A2B657C07106E64479EAC3434E99CF0497512F58995C1396C28719501EE
+# lattice basis for the scalar decomposition
+_G1A = 0x3086D221A7D46BCDE86C90E49284EB15
+_G1B = -0xE4437ED6010E88286F547FA90ABFE4C3
+_G2A = 0x114CA50F7A8E2F3F657C1108D9D44CFD8
+_G2B = _G1A
 
 _CACHE_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "_cache")
 
@@ -50,19 +61,24 @@ def scalar_to_windows(k: int) -> np.ndarray:
 def _build_window_table(base: C.AffinePoint):
     """Per-row table [0..15]*P as stacked (16, NLIMBS, B) arrays.
 
-    Built with a scan (T_{k+1} = T_k + P) so the add is traced once."""
+    Built with T2 = dbl(P) then a scan of incomplete adds (T_{k+1} = T_k +
+    P cannot degenerate for 2 <= k <= 14 when P has prime order n; rows
+    with adversarial low-order/off-curve P get deterministic garbage, same
+    as the reference's UB, and can never equal a golden match)."""
     t1 = C.to_jacobian(base)
+    t2 = C.dbl(t1)
 
     def step(prev, _):
-        nxt = C.madd(prev, base)
+        nxt = C.madd_fast(prev, base)
         return nxt, nxt
 
-    _, rest = jax.lax.scan(step, t1, None, length=14)   # T2..T15
+    _, rest = jax.lax.scan(step, t2, None, length=13)   # T3..T15
     inf = C.infinity_like(base.x)
 
     def stack(field_idx):
         return jnp.concatenate(
-            [inf[field_idx][None], t1[field_idx][None], rest[field_idx]],
+            [inf[field_idx][None], t1[field_idx][None], t2[field_idx][None],
+             rest[field_idx]],
             axis=0,
         )
 
@@ -88,6 +104,75 @@ def ecdh_shared_scalar(windows: jnp.ndarray, base: C.AffinePoint) -> C.JacPoint:
 
     acc = C.infinity_like(base.x)
     acc, _ = jax.lax.scan(step, acc, windows)
+    return acc
+
+
+def glv_split(k: int):
+    """k (mod n) -> (|k1|, sign1, |k2|, sign2) with k === k1 + k2*lambda
+    (mod n) and |k1|, |k2| < 2^128. Round-to-nearest lattice reduction."""
+    n = O.N
+    k = k % n
+
+    def rounded_div(a, b):
+        return (a + b // 2) // b
+
+    c1 = rounded_div(_G2B * k, n)
+    c2 = rounded_div(-_G1B * k, n)
+    k2 = -c1 * _G1B - c2 * _G2B
+    k1 = (k - k2 * GLV_LAMBDA) % n
+    if k1 > n // 2:
+        k1 -= n
+    assert (k1 + k2 * GLV_LAMBDA) % n == k
+    assert abs(k1) < 2**128 and abs(k2) < 2**128, (k1.bit_length(),
+                                                   k2.bit_length())
+    return abs(k1), k1 < 0, abs(k2), k2 < 0
+
+
+def glv_windows(k: int):
+    """Host-side schedule for the GLV ladder: two (32,) digit arrays (4-bit
+    windows, MSB first over 128 bits) plus sign flags."""
+    a1, n1, a2, n2 = glv_split(k)
+    def digits(v):
+        return np.array(
+            [(v >> (WINDOW_BITS * (GLV_WINDOWS - 1 - i))) & 0xF
+             for i in range(GLV_WINDOWS)], dtype=np.int32)
+    return (digits(a1), np.int32(n1), digits(a2), np.int32(n2))
+
+
+def ecdh_shared_scalar_glv(w1, neg1, w2, neg2, base: C.AffinePoint):
+    """GLV-accelerated shared-scalar multiply: 128 doublings instead of
+    256. w1/w2: (32,) int32 digit schedules; neg1/neg2: int32 sign flags
+    (dynamic, so changing keys never recompiles)."""
+    beta = jnp.asarray(F.int_to_limbs(GLV_BETA))[:, None]
+    y_neg = F.neg(base.y)
+    base1 = C.AffinePoint(
+        base.x, F.select(jnp.broadcast_to(neg1 != 0, base.inf.shape),
+                         y_neg, base.y), base.inf)
+    base2 = C.AffinePoint(
+        F.mul(beta, base.x),
+        F.select(jnp.broadcast_to(neg2 != 0, base.inf.shape),
+                 y_neg, base.y), base.inf)
+    t1 = _build_window_table(base1)
+    t2 = _build_window_table(base2)
+
+    def pick(tbl, digit):
+        return C.JacPoint(
+            jax.lax.dynamic_index_in_dim(tbl.x, digit, 0, keepdims=False),
+            jax.lax.dynamic_index_in_dim(tbl.y, digit, 0, keepdims=False),
+            jax.lax.dynamic_index_in_dim(tbl.z, digit, 0, keepdims=False),
+            jax.lax.dynamic_index_in_dim(tbl.inf, digit, 0, keepdims=False),
+        )
+
+    def step(acc, digits):
+        d1, d2 = digits
+        for _ in range(WINDOW_BITS):
+            acc = C.dbl(acc)
+        acc = C.jadd(acc, pick(t1, d1))
+        acc = C.jadd(acc, pick(t2, d2))
+        return acc, None
+
+    acc = C.infinity_like(base.x)
+    acc, _ = jax.lax.scan(step, acc, (w1, w2))
     return acc
 
 
@@ -151,6 +236,10 @@ def fixed_base_mul(scalar_bytes: jnp.ndarray) -> C.JacPoint:
             tab_i, onehot,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            # HIGHEST keeps 13-bit table entries exact on the TPU MXU
+            # (default precision truncates f32 operands to bf16, which only
+            # holds 8 mantissa bits — silently corrupts limbs > 256).
+            precision=jax.lax.Precision.HIGHEST,
         ).astype(jnp.int32)                   # (2N, B)
         q = C.AffinePoint(
             sel[: F.NLIMBS], sel[F.NLIMBS:], byte_row == 0

@@ -53,5 +53,5 @@ class BatchShardings:
 
     def put_query(self, windows, spend_x, spend_y, label_x, label_y):
         r = self.replicated
-        return tuple(jax.device_put(np.asarray(a), r)
+        return tuple(jax.device_put(a, r)
                      for a in (windows, spend_x, spend_y, label_x, label_y))

@@ -49,7 +49,7 @@ class BatchExecutor:
             w, sx, sy, lx, ly = self._shardings.put_query(
                 scan_windows, spend_x, spend_y, label_x, label_y)
         else:
-            w, sx, sy, lx, ly = (jax.device_put(np.asarray(a)) for a in (
+            w, sx, sy, lx, ly = (jax.device_put(a) for a in (
                 scan_windows, spend_x, spend_y, label_x, label_y))
 
         timer = Timer()
