@@ -87,8 +87,21 @@ def _subtrahend_limbs(mult: int) -> np.ndarray:
 P_LIMBS = int_to_limbs(P_INT)                     # canonical p
 D8_LIMBS = _subtrahend_limbs(8)                   # 8p, borrow-proof
 
-_P_COL = jnp.asarray(P_LIMBS, dtype=jnp.int32)[:, None]
-_D8_COL = jnp.asarray(D8_LIMBS, dtype=jnp.int32)[:, None]
+
+def _literal_col(limbs) -> jnp.ndarray:
+    """(NLIMBS, 1) int32 column built from python-int literals at trace
+    time. Pallas kernels reject captured array constants, so constants are
+    (re)constructed per trace from scalar literals; XLA folds them."""
+    return jnp.concatenate(
+        [jnp.full((1, 1), int(v), jnp.int32) for v in limbs], axis=0)
+
+
+def _p_col() -> jnp.ndarray:
+    return _literal_col(P_LIMBS)
+
+
+def _d8_col() -> jnp.ndarray:
+    return _literal_col(D8_LIMBS)
 
 # ---------------------------------------------------------------------------
 # Reduction primitives
@@ -107,10 +120,26 @@ def _carry(v: jnp.ndarray, out_len: int) -> jnp.ndarray:
     shifted = jnp.concatenate([z, hi], axis=0)      # (K+1, B)
     lo = jnp.concatenate([lo, z], axis=0)
     out = lo + shifted
-    if out_len >= k + 1:
+    if out_len == k + 1:
+        return out
+    if out_len > k + 1:
         pad = jnp.zeros((out_len - k - 1,) + v.shape[1:], dtype=v.dtype)
         return jnp.concatenate([out, pad], axis=0)
     return out[:out_len]
+
+
+def _rows_at(x: jnp.ndarray, start: int, out_len: int) -> jnp.ndarray:
+    """Place the rows of x at row offset `start` inside an out_len-row array
+    (zero padding elsewhere). Pure pad — no scatter, Pallas/Mosaic friendly."""
+    n = x.shape[0]
+    parts = []
+    if start > 0:
+        parts.append(jnp.zeros((start,) + x.shape[1:], dtype=x.dtype))
+    parts.append(x[: out_len - start])
+    tail = out_len - start - min(n, out_len - start)
+    if tail > 0:
+        parts.append(jnp.zeros((tail,) + x.shape[1:], dtype=x.dtype))
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
 
 
 def _fold20(v: jnp.ndarray) -> jnp.ndarray:
@@ -123,11 +152,9 @@ def _fold20(v: jnp.ndarray) -> jnp.ndarray:
     hi = v[NLIMBS:]                                  # (k-20, B)
     nh = hi.shape[0]
     out_len = max(NLIMBS, nh + 2)
-    add_lo = jnp.zeros((out_len,) + v.shape[1:], dtype=v.dtype)
-    add_lo = add_lo.at[:NLIMBS].add(lo)
-    add_lo = add_lo.at[:nh].add(hi * FOLD20_LO)
-    add_lo = add_lo.at[2:2 + nh].add(hi * FOLD20_HI)
-    return add_lo
+    return (_rows_at(lo, 0, out_len)
+            + _rows_at(hi * FOLD20_LO, 0, out_len)
+            + _rows_at(hi * FOLD20_HI, 2, out_len))
 
 
 def _fold256(v: jnp.ndarray) -> jnp.ndarray:
@@ -138,11 +165,14 @@ def _fold256(v: jnp.ndarray) -> jnp.ndarray:
     shift = LB - TOP_BITS  # contribution scale per extra limb: 2^(13-9)=16
     for j in range(NLIMBS, v.shape[0]):
         e = e + (v[j] << (shift + LB * (j - NLIMBS)))
-    out = v[:NLIMBS]
-    out = out.at[NLIMBS - 1].set(v[NLIMBS - 1] & ((1 << TOP_BITS) - 1))
-    out = out.at[0].add(e * FOLD256_LO)
-    out = out.at[2].add(e * FOLD256_HI)
-    return out
+    top = v[NLIMBS - 1] & ((1 << TOP_BITS) - 1)
+    return jnp.concatenate([
+        (v[0] + e * FOLD256_LO)[None],
+        v[1:2],
+        (v[2] + e * FOLD256_HI)[None],
+        v[3:NLIMBS - 1],
+        top[None],
+    ], axis=0)
 
 
 def _finalize(v: jnp.ndarray) -> jnp.ndarray:
@@ -181,13 +211,13 @@ def add(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 def sub(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """a - b (mod p). b limbs must be <= 2*BASE (any normal/add output)."""
-    s = a + (_D8_COL - b)
+    s = a + (_d8_col() - b)
     s = _carry(s, NLIMBS + 1)
     return _finalize(s)
 
 
 def neg(b: jnp.ndarray) -> jnp.ndarray:
-    s = _D8_COL - b
+    s = _d8_col() - b
     s = _carry(s, NLIMBS + 1)
     return _finalize(s)
 
@@ -201,22 +231,41 @@ def mul_small(a: jnp.ndarray, c: int) -> jnp.ndarray:
 
 
 def mul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Full field multiply. Inputs normal form (limbs <= ~10000)."""
+    """Full field multiply. Inputs normal form (limbs <= ~10000).
+
+    Scatter-free schoolbook: column sums are built in a low half (cols
+    0..N-1) and a high half (cols N..2N-2) so every accumulation add stays
+    N rows wide; safe inside Pallas kernels (Mosaic has no scatter)."""
     bshape = np.broadcast_shapes(a.shape[1:], b.shape[1:])
-    cols = jnp.zeros((2 * NLIMBS - 1,) + bshape, dtype=jnp.int32)
+    lo = jnp.zeros((NLIMBS,) + bshape, dtype=jnp.int32)
+    hi = jnp.zeros((NLIMBS - 1,) + bshape, dtype=jnp.int32)
     for i in range(NLIMBS):
-        cols = cols.at[i:i + NLIMBS].add(a[i][None] * b)
-    return _reduce_cols(cols)
+        t = a[i][None] * b                     # (NLIMBS, B), cols i..i+N-1
+        if i == 0:
+            lo = lo + t
+        else:
+            lo = lo + _rows_at(t[: NLIMBS - i], i, NLIMBS)
+            hi = hi + _rows_at(t[NLIMBS - i:], 0, NLIMBS - 1)
+    return _reduce_cols(jnp.concatenate([lo, hi], axis=0))
 
 
 def sqr(a: jnp.ndarray) -> jnp.ndarray:
     """Squaring: exploits symmetry (about half the limb products of mul)."""
-    cols = jnp.zeros((2 * NLIMBS - 1,) + a.shape[1:], dtype=jnp.int32)
+    lo = jnp.zeros((NLIMBS,) + a.shape[1:], dtype=jnp.int32)
+    hi = jnp.zeros((NLIMBS - 1,) + a.shape[1:], dtype=jnp.int32)
     for i in range(NLIMBS):
         seg = a[i][None] * a[i:]              # products a_i*a_j, j >= i
         seg = jnp.concatenate([seg[:1], seg[1:] * 2], axis=0)
-        cols = cols.at[2 * i: i + NLIMBS].add(seg)
-    return _reduce_cols(cols)
+        # seg row r lands in column 2i + r
+        if 2 * i < NLIMBS:
+            cut = NLIMBS - 2 * i
+            lo = lo + _rows_at(seg[:cut], 2 * i, NLIMBS)
+            if seg.shape[0] > cut:
+                hi = hi + _rows_at(seg[cut:], i * 2 + cut - NLIMBS,
+                                   NLIMBS - 1)
+        else:
+            hi = hi + _rows_at(seg, 2 * i - NLIMBS, NLIMBS - 1)
+    return _reduce_cols(jnp.concatenate([lo, hi], axis=0))
 
 
 def zero_like(a: jnp.ndarray) -> jnp.ndarray:
@@ -254,7 +303,7 @@ def canonical(a: jnp.ndarray) -> jnp.ndarray:
     v = _finalize(a)                      # value < 2^256 + small, < 2p
     v = _carry(v, NLIMBS)                 # positional limbs, no top carry
     # compare v >= p (lexicographic from the top limb down)
-    diff = v - _P_COL
+    diff = v - _p_col()
     res = jnp.zeros(v.shape[1:], dtype=jnp.int32)
     for i in range(NLIMBS - 1, -1, -1):
         res = jnp.where(res == 0, jnp.sign(diff[i]), res)
@@ -268,7 +317,7 @@ def is_zero(a: jnp.ndarray) -> jnp.ndarray:
     v = _finalize(a)
     v = _carry(v, NLIMBS)
     zero = jnp.all(v == 0, axis=0)
-    isp = jnp.all(v == _P_COL, axis=0)
+    isp = jnp.all(v == _p_col(), axis=0)
     return zero | isp
 
 
