@@ -89,10 +89,12 @@ def main():
 
     table = {"tweak_key": tweaks, "outputs": (flat, offsets)}
 
-    # warm-up run (compile) on a small slice
+    # warm-up run (compile + first-dispatch overheads) on a slice big
+    # enough to exercise the production batch shape
+    nwarm = min(args.rows, 262144 + 1)
     warm = {
-        "tweak_key": tweaks[: 4096],
-        "outputs": (flat[: offsets[4096]], offsets[: 4097]),
+        "tweak_key": tweaks[: nwarm],
+        "outputs": (flat[: offsets[nwarm]], offsets[: nwarm + 1]),
     }
     t0 = time.time()
     scan(warm, V.SCAN_KEY_BIP352, V.SPEND_BIP352, label_blobs,

@@ -13,6 +13,18 @@ Public API:
 
 __version__ = "0.1.0"
 
+import os as _os
+
+import jax as _jax
+
+# Persistent compilation cache: the fused Pallas scan kernel takes minutes
+# to compile cold; cached executables load in seconds. Users can override
+# or disable via CUDASP_COMPILE_CACHE (empty string disables).
+_cache_dir = _os.environ.get("CUDASP_COMPILE_CACHE", "/tmp/cudasp_jax_cache")
+if _cache_dir and _jax.config.jax_compilation_cache_dir is None:
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 from .api import scan, ScanConfig, ScanResult  # noqa: F401,E402
 
 __all__ = ["scan", "ScanConfig", "ScanResult", "__version__"]

@@ -28,11 +28,14 @@ class ScanConfig:
     max_outputs: int = 8            # padded outputs width (long lists split)
     mesh: object = None             # jax.sharding.Mesh for data sharding
     fused: bool = False             # single-program pipeline variant
+    backend: str = "auto"           # "pallas" (TPU kernel) | "xla" | "auto"
     collect_metrics: bool = True
-    # Internal device-batch tile. Fixed so XLA compiles one program shape
-    # regardless of table size (TPU compile time scales with batch width);
-    # multiple tiles stream through the executor's async-dispatch window.
-    tile: int = 8192
+    # Internal device-batch tile. Fixed so the device compiles one program
+    # shape regardless of table size; multiple tiles stream through the
+    # executor's async-dispatch window. None = auto per backend (the Pallas
+    # kernel amortizes dispatch over much wider batches than the XLA graph
+    # pipeline, whose compile time scales with batch width).
+    tile: Optional[int] = None
 
 
 @dataclass
@@ -161,25 +164,32 @@ def scan(
             p *= 2
         return p
 
+    executor = BatchExecutor(mesh=cfg.mesh, fused=cfg.fused,
+                             backend=cfg.backend)
+    tile = cfg.tile or (262144 if executor.backend == "pallas" else 8192)
     eff_batch = min(_pow2_at_least(cfg.batch_size),
-                    _pow2_at_least(max(n, 1)), cfg.tile)
-    batches = ingest.pack_rows(tweaks, flat, offsets,
-                               batch_size=eff_batch,
-                               max_outputs=cfg.max_outputs)
+                    _pow2_at_least(max(n, 1)), tile)
+    pack_time = [0.0]
+    batches = ingest.iter_packed(tweaks, flat, offsets,
+                                 batch_size=eff_batch,
+                                 max_outputs=cfg.max_outputs,
+                                 pack_seconds=pack_time)
     if metrics is not None:
         metrics.rows_in = n
-        metrics.rows_scanned = sum(b.n_valid for b in batches)
-        metrics.pack_seconds = timer.lap()
 
-    executor = BatchExecutor(mesh=cfg.mesh, fused=cfg.fused)
-    flag_arrays = executor.run(batches, windows, spend_x, spend_y, lx, ly,
-                               nlabels, metrics=metrics)
+    results = executor.run(batches, windows, spend_x, spend_y, lx, ly,
+                           nlabels, metrics=metrics)
 
     matched: List[np.ndarray] = []
-    for b, flags in zip(batches, flag_arrays):
-        matched.append(b.source_rows[flags & (b.source_rows >= 0)])
+    rows_scanned = 0
+    for flags, sources in results:
+        rows_scanned += int((sources >= 0).sum())
+        matched.append(sources[flags & (sources >= 0)])
     idx = (np.unique(np.concatenate(matched)) if matched
            else np.zeros(0, np.int64))
+    if metrics is not None:
+        metrics.rows_scanned = rows_scanned
+        metrics.pack_seconds = pack_time[0]
 
     def _take(name):
         if name not in cols:

@@ -13,7 +13,7 @@ native C++ fast path can substitute via io.native.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Iterable, List, Optional, Sequence, Tuple
+from typing import Iterable, List, NamedTuple, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -44,16 +44,29 @@ def blobs_to_limbs(blobs: np.ndarray) -> np.ndarray:
 
 
 def point_blobs_to_limbs(blobs: np.ndarray):
-    """(B, 64) uint8 point blobs (LE x || LE y) -> two (NLIMBS, B) int32."""
+    """(B, 64) uint8 point blobs (LE x || LE y) -> two (NLIMBS, B) int32.
+
+    Uses the native C++ re-limber (csrc/ingest.cpp) when built — ~45x the
+    numpy path at 1M rows — with a bit-identical numpy fallback."""
     b = np.asarray(blobs, dtype=np.uint8)
     if b.ndim != 2 or b.shape[1] != 64:
         raise ValueError("expected (B, 64) byte array")
+    from . import native
+    if native.available() and b.shape[0] >= 1024:
+        return native.pack_points(b)
     return blobs_to_limbs(b[:, :32]), blobs_to_limbs(b[:, 32:])
 
 
 def split_outputs_i64(vals: np.ndarray):
-    """int64 array -> (hi, lo) int32 bit halves (TPU-friendly int64)."""
+    """int64 array -> (hi, lo) int32 bit halves (TPU-friendly int64).
+
+    On little-endian hosts this is a pure view-reinterpretation (no
+    arithmetic): an int64 is its low int32 word followed by its high."""
     v = np.asarray(vals, dtype=np.int64)
+    import sys
+    if sys.byteorder == "little":
+        w = np.ascontiguousarray(v).view(np.int32).reshape(v.shape + (2,))
+        return np.ascontiguousarray(w[..., 1]), np.ascontiguousarray(w[..., 0])
     lo = (v & 0xFFFFFFFF).astype(U32).view(np.int32).reshape(v.shape)
     hi = ((v >> 32) & 0xFFFFFFFF).astype(U32).view(np.int32).reshape(v.shape)
     return hi, lo
@@ -91,20 +104,27 @@ class PackedBatch:
         return int(self.row_valid.sum())
 
 
-def pack_rows(
+def iter_packed(
     tweak_blobs: np.ndarray,     # (n, 64) uint8
     outputs_flat: np.ndarray,    # flat int64 values (CSR)
     outputs_offsets: np.ndarray,  # (n+1,) int64
     batch_size: int,
     max_outputs: int,
     row_indices: Optional[np.ndarray] = None,
-) -> List[PackedBatch]:
-    """Pack n rows into fixed-shape batches, fully vectorized.
+    pack_seconds: Optional[list] = None,
+):
+    """Yield fixed-shape PackedBatches, fully vectorized, lazily per batch
+    so the executor overlaps host packing with device compute (the role of
+    the reference's per-thread accumulators feeding CUDA streams).
 
     Rows whose outputs list exceeds max_outputs split into several virtual
     rows sharing a source row index (the executor dedups matches on
     emission), so long lists are never truncated. Rows with empty outputs
-    are dropped (they can never match — src/cudasp_gpu.cu:29-41)."""
+    are dropped (they can never match — src/cudasp_gpu.cu:29-41).
+    pack_seconds: optional 1-element list accumulating host pack time."""
+    import time as _time
+
+    t0 = _time.perf_counter()
     tweak_blobs = np.ascontiguousarray(tweak_blobs, dtype=np.uint8)
     offsets = np.asarray(outputs_offsets, dtype=np.int64)
     n = len(offsets) - 1
@@ -115,47 +135,73 @@ def pack_rows(
     nch = (lens + max_outputs - 1) // max_outputs      # chunks per row
     total = int(nch.sum())
     if total == 0:
-        return []
+        return
     src = np.repeat(np.arange(n, dtype=np.int64), nch)          # (total,)
     cum = np.zeros(n + 1, np.int64)
     np.cumsum(nch, out=cum[1:])
     chunk_in_row = np.arange(total, dtype=np.int64) - np.repeat(cum[:-1], nch)
     starts = offsets[src] + chunk_in_row * max_outputs
     take = np.minimum(lens[src] - chunk_in_row * max_outputs, max_outputs)
-    gidx = starts[:, None] + np.arange(max_outputs, dtype=np.int64)[None]
-    vmask = np.arange(max_outputs, dtype=np.int64)[None] < take[:, None]
-    vals = outputs_flat[np.where(vmask, gidx, 0)]               # (total, M)
-    all_hi, all_lo = split_outputs_i64(vals)
-    all_tweaks = tweak_blobs[src]                               # (total, 64)
-    all_sources = row_indices[src]
+    if pack_seconds is not None:
+        pack_seconds[0] += _time.perf_counter() - t0
 
-    batches: List[PackedBatch] = []
+    midx = np.arange(max_outputs, dtype=np.int64)[None]
     for start in range(0, total, batch_size):
+        t0 = _time.perf_counter()
         stop = min(start + batch_size, total)
         k = stop - start
         pad = batch_size - k
         sl = slice(start, stop)
 
-        def padded(a, fill=0):
+        def padrows(a, fill=0):
             if pad == 0:
-                return a[sl]
+                return a
             shape = (pad,) + a.shape[1:]
             return np.concatenate(
-                [a[sl], np.full(shape, fill, dtype=a.dtype)], axis=0
-            )
+                [a, np.full(shape, fill, dtype=a.dtype)], axis=0)
 
-        tx, ty = point_blobs_to_limbs(padded(all_tweaks))
-        batches.append(PackedBatch(
+        gidx = starts[sl, None] + midx
+        vmask = midx < take[sl, None]
+        vals = outputs_flat[np.where(vmask, gidx, 0)]           # (k, M)
+        b_hi, b_lo = split_outputs_i64(vals)
+        tx, ty = point_blobs_to_limbs(padrows(tweak_blobs[src[sl]]))
+
+        batch = PackedBatch(
             tweak_x=tx,
             tweak_y=ty,
             row_valid=np.concatenate(
                 [np.ones(k, bool), np.zeros(pad, bool)]),
-            outputs_hi=padded(all_hi),
-            outputs_lo=padded(all_lo),
-            outputs_valid=padded(vmask),
-            source_rows=padded(all_sources, fill=-1),
-        ))
-    return batches
+            outputs_hi=padrows(b_hi),
+            outputs_lo=padrows(b_lo),
+            outputs_valid=padrows(vmask),
+            source_rows=padrows(row_indices[src[sl]], fill=-1),
+        )
+        if pack_seconds is not None:
+            pack_seconds[0] += _time.perf_counter() - t0
+        yield batch
+
+
+def pack_rows(
+    tweak_blobs: np.ndarray,
+    outputs_flat: np.ndarray,
+    outputs_offsets: np.ndarray,
+    batch_size: int,
+    max_outputs: int,
+    row_indices: Optional[np.ndarray] = None,
+) -> List[PackedBatch]:
+    """Eager form of iter_packed (tests / small tables)."""
+    return list(iter_packed(tweak_blobs, outputs_flat, outputs_offsets,
+                            batch_size, max_outputs, row_indices))
+
+
+class ScanSchedule(NamedTuple):
+    """Host-computed scalar schedules for the shared scan key: unsigned
+    4-bit GLV windows (XLA pipeline) + signed digits (Pallas kernel)."""
+    w1: np.ndarray        # (32,) int32
+    n1: np.int32
+    w2: np.ndarray        # (32,) int32
+    n2: np.int32
+    digits: np.ndarray    # (2, 33) int32 signed
 
 
 def pack_query_keys(scan_key_blob: bytes, spend_blob: bytes,
@@ -165,7 +211,7 @@ def pack_query_keys(scan_key_blob: bytes, spend_blob: bytes,
     from ..ops import scalar as S
 
     k = blob32_to_scalar(bytes(scan_key_blob))
-    windows = S.glv_windows(k)   # (w1, sign1, w2, sign2) pytree
+    windows = ScanSchedule(*S.glv_windows(k), S.glv_signed_digits(k))
     sx, sy = blob64_to_point(bytes(spend_blob))
     spend_x = F.int_to_limbs(sx)[:, None]
     spend_y = F.int_to_limbs(sy)[:, None]

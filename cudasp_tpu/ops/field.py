@@ -96,6 +96,15 @@ def _literal_col(limbs) -> jnp.ndarray:
         [jnp.full((1, 1), int(v), jnp.int32) for v in limbs], axis=0)
 
 
+def literal_planes(limbs, width: int) -> jnp.ndarray:
+    """(NLIMBS, width) int32 constant built from lane-wide literal splats.
+    Use this (not a (NLIMBS, 1) column) for constants that feed mul/sqr
+    inside Pallas kernels: row-slicing a width-1 constant makes Mosaic
+    synthesize dual-axis broadcasts, which it cannot lower."""
+    return jnp.concatenate(
+        [jnp.full((1, width), int(v), jnp.int32) for v in limbs], axis=0)
+
+
 def _p_col() -> jnp.ndarray:
     return _literal_col(P_LIMBS)
 
@@ -255,7 +264,8 @@ def sqr(a: jnp.ndarray) -> jnp.ndarray:
     hi = jnp.zeros((NLIMBS - 1,) + a.shape[1:], dtype=jnp.int32)
     for i in range(NLIMBS):
         seg = a[i][None] * a[i:]              # products a_i*a_j, j >= i
-        seg = jnp.concatenate([seg[:1], seg[1:] * 2], axis=0)
+        if seg.shape[0] > 1:
+            seg = jnp.concatenate([seg[:1], seg[1:] * 2], axis=0)
         # seg row r lands in column 2i + r
         if 2 * i < NLIMBS:
             cut = NLIMBS - 2 * i
@@ -273,8 +283,10 @@ def zero_like(a: jnp.ndarray) -> jnp.ndarray:
 
 
 def one_like(a: jnp.ndarray) -> jnp.ndarray:
-    o = jnp.zeros_like(a)
-    return o.at[0].set(1)
+    return jnp.concatenate([
+        jnp.ones((1,) + a.shape[1:], dtype=a.dtype),
+        jnp.zeros((NLIMBS - 1,) + a.shape[1:], dtype=a.dtype),
+    ], axis=0)
 
 
 def select(mask: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:

@@ -1,0 +1,450 @@
+"""Fused Pallas TPU kernel: the entire scan pipeline, VMEM-resident.
+
+The XLA-graph pipeline (ops/pipeline.py) is correct but HBM-bound on real
+hardware: at production batch widths every field temporary is a multi-MB
+HBM array and the 132-step EC ladder round-trips each of its ~2000 field
+multiplies through HBM. This kernel is the TPU-native answer (the role the
+hand-scheduled CUDA kernels play in the reference, but tiled for VMEM
+instead of SMs): the grid walks row tiles of `block_rows` lanes, and one
+kernel invocation takes a tile from tweak-point limbs all the way to match
+flags without touching HBM in between:
+
+    table build (7 pts)      - Jacobian chain + one batched inversion,
+                               GLV half-2 derived via the lambda
+                               endomorphism (x -> beta*x) instead of a
+                               second chain
+    GLV ladder (33 windows)  - 4 doublings + 2 mixed adds per window;
+                               signed digits arrive via scalar prefetch
+                               (SMEM), so table selects are shared-index
+                               dynamic slices: zero divergence
+    to-affine + tagged hash  - Fermat inversion, canonicalize, 1 SHA-256
+                               compression (midstate folded into literals)
+    fixed-base comb (32 win) - one-hot f32 matmuls on the MXU against the
+                               resident 1.3 MB G-multiple table + mixed add
+    spend/label adds + match - shared-chain inversion, upper-64 extract,
+                               semi-join against the padded outputs plane
+
+Reference parity: semantics match src/cudasp_gpu.cu:74-178 + :236-354
+(serialize, tagged hash, fixed-point mult, match w/ labels); degenerate
+rows (point at infinity, zero digits) are handled by lane selects instead
+of UB. p == +-q collisions inside adds are not special-cased: for honest
+inputs they require ~2^-124 scalar coincidences (the reference's gECC adds
+have the same exposure).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..oracle.sha256 import K as _SHA_K
+from ..oracle.sha256 import tagged_midstate
+from . import curve as C
+from . import field as F
+from . import scalar as S
+
+NW = S.SIGNED_WINDOWS           # 33 ladder windows per GLV half
+TAG_MIDSTATE = tagged_midstate(b"BIP0352/SharedSecret")
+BITLEN = (64 + 37) * 8          # tag block + 37-byte message
+
+
+# ---------------------------------------------------------------------------
+# 2D-safe helpers (kernel values keep a (rows, lanes) layout; masks are
+# (1, BT) so broadcasts never create 1-D or 3-D intermediates)
+# ---------------------------------------------------------------------------
+
+
+def _sel(mask, a, b):
+    """mask: (1, BT) bool; a/b: (K, BT) or broadcastable."""
+    return jnp.where(mask, a, b)
+
+
+def _is_zero2d(a):
+    """Field-element zero test -> (1, BT) bool."""
+    v = F._carry(F._finalize(a), F.NLIMBS)
+    zero = jnp.all(v == 0, axis=0, keepdims=True)
+    isp = jnp.all(v == F._p_col(), axis=0, keepdims=True)
+    return zero | isp
+
+
+def _canon2d(a):
+    """Canonical (< p) limbs; the (1, BT)-shaped port of F.canonical."""
+    v = F._carry(F._finalize(a), F.NLIMBS)
+    diff = v - F._p_col()
+    res = jnp.zeros((1,) + v.shape[1:], dtype=jnp.int32)
+    for i in range(F.NLIMBS - 1, -1, -1):
+        res = jnp.where(res == 0, jnp.sign(diff[i : i + 1]), res)
+    v = jnp.where(res >= 0, diff, v)
+    return F._ripple_signed(v)
+
+
+def _words_be_2d(xc):
+    """Canonical limbs (NLIMBS, BT) -> (8, BT) uint32 big-endian words."""
+    xu = xc.astype(jnp.uint32)
+    rows = []
+    for j in range(8):
+        lo_bit = 32 * (7 - j)
+        acc = None
+        for i in range(F.NLIMBS):
+            limb_lo = F.LB * i
+            if limb_lo + F.LB <= lo_bit or limb_lo >= lo_bit + 32:
+                continue
+            s = limb_lo - lo_bit
+            part = (xu[i : i + 1] << np.uint32(s)) if s >= 0 else (
+                xu[i : i + 1] >> np.uint32(-s))
+            acc = part if acc is None else (acc | part)
+        rows.append(acc)
+    return jnp.concatenate(rows, axis=0)
+
+
+def _rotr(x, n):
+    return (x >> np.uint32(n)) | (x << np.uint32(32 - n))
+
+
+def _tagged_hash_2d(xw, parity):
+    """BIP-352 tagged hash of 02/03 || x || 0^4. xw: (8, BT) u32 big-endian
+    words of canonical affine x; parity: (1, BT) u32. -> (8, BT) u32."""
+    prefix = np.uint32(0x02) + parity
+    w = [(prefix << np.uint32(24)) | (xw[0:1] >> np.uint32(8))]
+    for i in range(1, 8):
+        w.append((xw[i - 1 : i] << np.uint32(24)) | (xw[i : i + 1] >> np.uint32(8)))
+    w.append((xw[7:8] & np.uint32(0xFF)) << np.uint32(24))
+    w.append(jnp.full_like(parity, np.uint32(0x00800000)))
+    for _ in range(5):
+        w.append(jnp.zeros_like(parity))
+    w.append(jnp.full_like(parity, np.uint32(BITLEN)))
+
+    for t in range(16, 64):
+        s0 = _rotr(w[t - 15], 7) ^ _rotr(w[t - 15], 18) ^ (w[t - 15] >> np.uint32(3))
+        s1 = _rotr(w[t - 2], 17) ^ _rotr(w[t - 2], 19) ^ (w[t - 2] >> np.uint32(10))
+        w.append(w[t - 16] + s0 + w[t - 7] + s1)
+    state = [jnp.full_like(parity, np.uint32(s)) for s in TAG_MIDSTATE]
+    a, b, c, d, e, f, g, h = state
+    for t in range(64):
+        s1 = _rotr(e, 6) ^ _rotr(e, 11) ^ _rotr(e, 25)
+        ch = (e & f) ^ (~e & g)
+        t1 = h + s1 + ch + np.uint32(_SHA_K[t]) + w[t]
+        s0 = _rotr(a, 2) ^ _rotr(a, 13) ^ _rotr(a, 22)
+        maj = (a & b) ^ (a & c) ^ (b & c)
+        h, g, f, e, d, c, b, a = g, f, e, d + t1, c, b, a, t1 + s0 + maj
+    return jnp.concatenate(
+        [s + v for s, v in zip(state, (a, b, c, d, e, f, g, h))], axis=0)
+
+
+def _bytes_from_words_2d(words):
+    """(8, BT) u32 big-endian words -> (32, BT) int32 bytes, MSB first."""
+    rows = []
+    for i in range(32):
+        w = words[i // 4 : i // 4 + 1]
+        rows.append(((w >> np.uint32(8 * (3 - i % 4))) & np.uint32(0xFF)))
+    return jnp.concatenate(rows, axis=0).astype(jnp.int32)
+
+
+def _madd_core(px, py, pz, qx, qy):
+    """Incomplete mixed add (8M+3S); caller owns degenerate-case selects."""
+    z1z1 = F.sqr(pz)
+    u2 = F.mul(qx, z1z1)
+    s2 = F.mul(qy, F.mul(pz, z1z1))
+    h = F.sub(u2, px)
+    r = F.sub(s2, py)
+    hh = F.sqr(h)
+    h3 = F.mul(h, hh)
+    v = F.mul(px, hh)
+    x3 = F.sub(F.sub(F.sqr(r), h3), F.mul_small(v, 2))
+    y3 = F.sub(F.mul(r, F.sub(v, x3)), F.mul(py, h3))
+    z3 = F.mul(pz, h)
+    return x3, y3, z3
+
+
+def _dbl(px, py, pz):
+    """a=0 Jacobian doubling (2M+5S), raw coordinates."""
+    a = F.sqr(px)
+    b = F.sqr(py)
+    c = F.sqr(b)
+    t = F.sqr(F.add(px, b))
+    d = F.mul_small(F.sub(F.sub(t, a), c), 2)
+    e = F.mul_small(a, 3)
+    x3 = F.sub(F.sqr(e), F.mul_small(d, 2))
+    y3 = F.sub(F.mul(e, F.sub(d, x3)), F.mul_small(c, 8))
+    z3 = F.mul_small(F.mul(py, pz), 2)
+    return x3, y3, z3
+
+
+def _madd_complete_lite(px, py, pz, pinf, qx, qy, qinf):
+    """Mixed add with infinity lanes handled by selects (p == +-q is the
+    caller-documented negligible case). qx/qy may be (NLIMBS, 1) shared;
+    they are materialized to full lane width first (Mosaic supports
+    single-axis broadcasts only)."""
+    qx = qx + jnp.zeros_like(px)
+    qy = qy + jnp.zeros_like(py)
+    ax, ay, az = _madd_core(px, py, pz, qx, qy)
+    one = F.one_like(px)
+    ax = _sel(qinf, px, _sel(pinf, qx, ax))
+    ay = _sel(qinf, py, _sel(pinf, qy, ay))
+    az = _sel(qinf, pz, _sel(pinf, one, az))
+    return ax, ay, az, pinf & qinf
+
+
+def _inv_chain_raw(zs):
+    """Montgomery-trick shared inversion; zero inputs -> zero inverses."""
+    nz = [_is_zero2d(z) for z in zs]
+    one = F.one_like(zs[0])
+    safe = [_sel(m, one, z) for m, z in zip(nz, zs)]
+    prefix = [safe[0]]
+    for z in safe[1:]:
+        prefix.append(F.mul(prefix[-1], z))
+    run = F.inv(prefix[-1])
+    out = [None] * len(zs)
+    for i in range(len(zs) - 1, 0, -1):
+        out[i] = F.mul(run, prefix[i - 1])
+        run = F.mul(run, safe[i])
+    out[0] = run
+    return [_sel(m, jnp.zeros_like(o), o) for m, o in zip(nz, out)]
+
+
+# ---------------------------------------------------------------------------
+# The kernel
+# ---------------------------------------------------------------------------
+
+
+def _scan_kernel(nlabels, digits_ref,
+                 tx_ref, ty_ref, rv_ref, oh_ref, ol_ref, ov_ref,
+                 sx_ref, sy_ref, lx_ref, ly_ref, comb_ref,
+                 out_ref, tabx, taby, sbytes_ref):
+    bx = tx_ref[:]
+    by = ty_ref[:]
+    one = F.one_like(bx)
+    beta = F.literal_planes(F.int_to_limbs(S.GLV_BETA), bx.shape[1])
+
+    # ---- per-row window table: m*P for m = 1..8 (Jacobian chain), then one
+    # batched inversion to affine; GLV half-2 is the beta-endomorphism image
+    # (shares y), signs are a second y plane (SURVEY.md §7 step 4a).
+    chain = [(bx, by, one)]
+    cur = _dbl(bx, by, one)
+    chain.append(cur)
+    for _ in range(6):
+        cur = _madd_core(cur[0], cur[1], cur[2], bx, by)
+        chain.append(cur)
+    zinvs = _inv_chain_raw([c[2] for c in chain[1:]])
+    tabx[0, 0] = bx
+    tabx[1, 0] = F.mul(beta, bx)
+    taby[0, 0] = by
+    taby[1, 0] = F.neg(by)
+    for m in range(1, 8):
+        zi = zinvs[m - 1]
+        zi2 = F.sqr(zi)
+        ax = F.mul(chain[m][0], zi2)
+        ay = F.mul(chain[m][1], F.mul(zi, zi2))
+        tabx[0, m] = ax
+        tabx[1, m] = F.mul(beta, ax)
+        taby[0, m] = ay
+        taby[1, m] = F.neg(ay)
+
+    # ---- GLV ladder: 33 windows x (4 dbl + 2 table adds); digits shared
+    # across lanes -> every select is a scalar-indexed dynamic slice.
+    zeros = jnp.zeros_like(bx)
+    inf0 = jnp.ones((1, bx.shape[1]), jnp.int32)   # int32 mask: Mosaic
+    # cannot legalize scf.for loops with i1-vector carries
+
+    def window(i, carry):
+        px, py, pz, pinf_i = carry
+        pinf = pinf_i != 0
+        for _ in range(4):
+            px, py, pz = _dbl(px, py, pz)
+        for h in range(2):
+            d = digits_ref[h, i]
+            idx = jnp.maximum(jnp.abs(d) - 1, 0)
+            sgn = (d < 0).astype(jnp.int32)
+            qx = tabx[h, idx]
+            qy = taby[sgn, idx]
+            ax, ay, az = _madd_core(px, py, pz, qx, qy)
+            skip = d == 0
+            px = jnp.where(skip, px, _sel(pinf, qx, ax))
+            py = jnp.where(skip, py, _sel(pinf, qy, ay))
+            pz = jnp.where(skip, pz, _sel(pinf, one, az))
+            pinf = pinf & skip
+        return px, py, pz, pinf.astype(jnp.int32)
+
+    ex, ey, ez, einf_i = jax.lax.fori_loop(
+        0, NW, window, (zeros, zeros, zeros, inf0))
+    einf = einf_i != 0
+
+    # ---- serialize + tagged hash (src/cudasp_gpu.cu:236-314 equivalent)
+    zi = F.inv(_sel(einf, one, ez))
+    zi2 = F.sqr(zi)
+    x_aff = _canon2d(F.mul(ex, zi2))
+    y_aff = _canon2d(F.mul(ey, F.mul(zi, zi2)))
+    parity = (y_aff[0:1] & 1).astype(jnp.uint32)
+    hw = _tagged_hash_2d(_words_be_2d(x_aff), parity)
+    # staged through scratch: Mosaic only supports dynamic indexing on refs
+    sbytes_ref[:] = _bytes_from_words_2d(hw)       # (32, BT) int32
+
+    # ---- fixed-base comb: t x G via one-hot MXU selects (replaces
+    # ECDSACONST.d_mul_table walks, src/cudasp_gpu.cu:317-354)
+    bt = bx.shape[1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (256, bt), 0)
+
+    def comb_window(i, carry):
+        px, py, pz, pinf_i = carry
+        pinf = pinf_i != 0
+        tab = comb_ref[i]                          # (2*NLIMBS, 256) f32
+        byte = sbytes_ref[pl.ds(i, 1), :]                   # (1, BT)
+        onehot = (iota == byte).astype(jnp.float32)
+        sel = jax.lax.dot_general(
+            tab, onehot,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ).astype(jnp.int32)
+        qx, qy = sel[: F.NLIMBS], sel[F.NLIMBS:]
+        ax, ay, az = _madd_core(px, py, pz, qx, qy)
+        qinf = byte == 0
+        px = _sel(qinf, px, _sel(pinf, qx, ax))
+        py = _sel(qinf, py, _sel(pinf, qy, ay))
+        pz = _sel(qinf, pz, _sel(pinf, one, az))
+        return px, py, pz, (pinf & qinf).astype(jnp.int32)
+
+    ox, oy, oz, oinf_i = jax.lax.fori_loop(
+        0, 32, comb_window, (zeros, zeros, zeros, inf0))
+    oinf = oinf_i != 0
+
+    # ---- + spend, + labels, upper-64 semi-join (src/cudasp_gpu.cu:74-178)
+    sx = sx_ref[:]
+    sy = sy_ref[:]
+    fx, fy, fz, finf = _madd_complete_lite(
+        ox, oy, oz, oinf, sx, sy, jnp.zeros_like(inf0))
+    cands = [(fx, fy, fz, finf)]
+    for j in range(nlabels):
+        lx = lx_ref[j]
+        ly = ly_ref[j]
+        cands.append(_madd_complete_lite(fx, fy, fz, finf, lx, ly,
+                                         jnp.zeros_like(inf0)))
+
+    zinvs = _inv_chain_raw([c[2] for c in cands])
+    oh = oh_ref[:]
+    ol = ol_ref[:]
+    ov = ov_ref[:] != 0
+    hit = jnp.zeros_like(inf0)
+    for (cx, _, cz, cinf), czi in zip(cands, zinvs):
+        x_can = _canon2d(F.mul(cx, F.sqr(czi)))
+        words = _words_be_2d(x_can)
+        dead = cinf | _is_zero2d(cz)
+        eq = (words[0:1] == oh) & (words[1:2] == ol) & ov
+        hit = hit | (jnp.any(eq, axis=0, keepdims=True) & ~dead)
+
+    out_ref[:] = (hit & (rv_ref[:] != 0) & ~einf).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("nlabels", "block_rows"))
+def _scan_pallas_call(tweak_x, tweak_y, row_valid, outputs_hi, outputs_lo,
+                      outputs_valid, digits, spend_x, spend_y,
+                      label_x, label_y, comb, *, nlabels, block_rows):
+    B = tweak_x.shape[1]
+    M = outputs_hi.shape[0]
+    L = label_x.shape[0]
+    nblocks = B // block_rows
+    N = F.NLIMBS
+
+    def col_block(rows):
+        return pl.BlockSpec((rows, block_rows), lambda i, *_: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    def fixed(shape):
+        return pl.BlockSpec(shape, lambda i, *_: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblocks,),
+        in_specs=[
+            col_block(N), col_block(N),          # tweak x/y
+            col_block(1),                        # row_valid
+            col_block(M), col_block(M), col_block(M),   # outputs hi/lo/valid
+            fixed((N, block_rows)), fixed((N, block_rows)),        # spend
+            fixed((L, N, block_rows)), fixed((L, N, block_rows)),  # labels
+            fixed((32, 2 * N, 256)),             # comb table
+        ],
+        out_specs=pl.BlockSpec((1, block_rows), lambda i, *_: (0, i),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, 8, N, block_rows), jnp.int32),   # table x
+            pltpu.VMEM((2, 8, N, block_rows), jnp.int32),   # table +-y
+            pltpu.VMEM((32, block_rows), jnp.int32),        # hash bytes
+        ],
+    )
+    flags = pl.pallas_call(
+        functools.partial(_scan_kernel, nlabels),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((1, B), jnp.int32),
+    )(digits, tweak_x, tweak_y, row_valid, outputs_hi, outputs_lo,
+      outputs_valid, spend_x, spend_y, label_x, label_y, comb)
+    return flags
+
+
+def pack_batch_arrays(tweak_x, tweak_y, row_valid, outputs_hi, outputs_lo,
+                      outputs_valid, block_rows: int = 256):
+    """Host-side layout conversion of one packed batch into the kernel's
+    expected planes: lane-major, B padded to a block_rows multiple, match
+    words as uint32, masks as int32."""
+    B = int(tweak_x.shape[1])
+    Bp = max(block_rows, ((B + block_rows - 1) // block_rows) * block_rows)
+    pad = Bp - B
+
+    def padB(a):
+        a = np.asarray(a)
+        if pad == 0:
+            return a
+        widths = [(0, 0)] * a.ndim
+        widths[-1] = (0, pad)
+        return np.pad(a, widths)
+
+    return (
+        padB(tweak_x),
+        padB(tweak_y),
+        padB(np.asarray(row_valid).astype(np.int32)[None, :]),
+        padB(np.ascontiguousarray(np.asarray(outputs_hi).T).view(np.uint32)),
+        padB(np.ascontiguousarray(np.asarray(outputs_lo).T).view(np.uint32)),
+        padB(np.asarray(outputs_valid).astype(np.int32).T),
+    )
+
+
+def pack_query_arrays(spend_x, spend_y, label_x, label_y,
+                      block_rows: int = 256):
+    """Tile the shared per-query operands to full lane width (Mosaic
+    supports single-axis broadcasts only, so this happens on the host)."""
+    def tile(a):
+        a = np.asarray(a)
+        return np.ascontiguousarray(
+            np.broadcast_to(a, a.shape[:-1] + (block_rows,)))
+
+    return tile(spend_x), tile(spend_y), tile(label_x), tile(label_y)
+
+
+def scan_batch_pallas(tweak_x, tweak_y, row_valid, outputs_hi, outputs_lo,
+                      outputs_valid, digits, spend_x, spend_y,
+                      label_x, label_y, *, nlabels: int,
+                      block_rows: int = 256):
+    """Pallas-fused scan over one packed batch. Same contract as
+    pipeline.scan_batch_fused but takes the (2, 33) signed digit schedule
+    (scalar.glv_signed_digits) instead of the unsigned window pytree.
+
+    Accepts host or device arrays; pads B to a block_rows multiple."""
+    B = int(tweak_x.shape[1])
+    planes = pack_batch_arrays(tweak_x, tweak_y, row_valid, outputs_hi,
+                               outputs_lo, outputs_valid, block_rows)
+    sx, sy, lx, ly = pack_query_arrays(spend_x, spend_y, label_x, label_y,
+                                       block_rows)
+    flags = _scan_pallas_call(
+        *(jnp.asarray(a) for a in planes), jnp.asarray(digits),
+        jnp.asarray(sx), jnp.asarray(sy), jnp.asarray(lx), jnp.asarray(ly),
+        comb_table_f32(), nlabels=nlabels, block_rows=block_rows)
+    return flags[0, :B] != 0
+
+
+def comb_table_f32():
+    return jnp.asarray(S.comb_table())

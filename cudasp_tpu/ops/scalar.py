@@ -128,6 +128,35 @@ def glv_split(k: int):
     return abs(k1), k1 < 0, abs(k2), k2 < 0
 
 
+SIGNED_WINDOWS = 33   # ceil(128/4) + 1 carry window
+
+
+def glv_signed_digits(k: int) -> np.ndarray:
+    """Host-side schedule for the Pallas ladder: (2, 33) int32 signed 4-bit
+    digits (values in [-8, 8]), most-significant window first, one row per
+    GLV half-scalar, with each half's sign folded into its digits.
+
+    value(row) = sum_i d_i * 16^(32-i); k === row0 + lambda*row1 (mod n).
+    Signed digits need only magnitudes 1..8 in the per-row point table
+    (half the VMEM of unsigned 1..15) and negation is a per-window shared
+    y-sign select."""
+    a1, n1, a2, n2 = glv_split(k)
+
+    def rec(v: int, negate: bool):
+        ds = []
+        for _ in range(SIGNED_WINDOWS):
+            d = v & 0xF
+            v >>= 4
+            if d > 8:
+                d -= 16
+                v += 1
+            ds.append(-d if negate else d)
+        assert v == 0, "half-scalar exceeded the window budget"
+        return ds[::-1]
+
+    return np.array([rec(a1, bool(n1)), rec(a2, bool(n2))], dtype=np.int32)
+
+
 def glv_windows(k: int):
     """Host-side schedule for the GLV ladder: two (32,) digit arrays (4-bit
     windows, MSB first over 128 bits) plus sign flags."""

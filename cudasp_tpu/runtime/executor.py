@@ -1,4 +1,4 @@
-"""Batch executor: feeds packed batches through the jitted pipeline.
+"""Batch executor: feeds packed batches through the device pipeline.
 
 Replaces the reference's L3/L4 scheduling machinery (per-thread
 accumulators, round-robin GPU pinning, per-batch streams, mutex-guarded
@@ -6,6 +6,13 @@ merge — src/cudasp_extension.cu:122-152,226-410): JAX's async dispatch
 gives stream-like overlap for free (we enqueue batch i+1 before reading
 batch i's flags), and sharded execution over a device mesh replaces
 multi-GPU round-robin.
+
+Two compute backends:
+  * "pallas" — the fused VMEM-resident TPU kernel (ops/kernels.py); the
+    production path on TPU hardware.
+  * "xla"    — the jitted XLA-graph pipeline (ops/pipeline.py); used on
+    CPU, under interpret-style testing, and for mesh-sharded runs.
+"auto" picks pallas on TPU-like backends when no mesh is requested.
 """
 
 from __future__ import annotations
@@ -21,29 +28,54 @@ from .errors import ExecutionError
 from .metrics import ScanMetrics, Timer
 
 
+def _default_backend(mesh) -> str:
+    if mesh is not None:
+        return "xla"
+    return "xla" if jax.default_backend() == "cpu" else "pallas"
+
+
 class BatchExecutor:
     """Runs packed batches on one device or a data-sharded mesh."""
 
-    def __init__(self, mesh=None, fused: bool = False):
+    def __init__(self, mesh=None, fused: bool = False,
+                 backend: str = "auto", block_rows: int = 256):
         self._shardings = None
         if mesh is not None:
             from ..parallel.mesh import BatchShardings
 
             self._shardings = BatchShardings(mesh)
         self._fused = fused
+        self._backend = (_default_backend(mesh)
+                         if backend in (None, "auto") else backend)
+        self._block_rows = block_rows
+
+    @property
+    def backend(self) -> str:
+        return self._backend
 
     def run(
         self,
-        batches: Sequence[PackedBatch],
-        scan_windows: np.ndarray,
+        batches,
+        scan_windows,
         spend_x: np.ndarray,
         spend_y: np.ndarray,
         label_x: np.ndarray,
         label_y: np.ndarray,
         nlabels: int,
         metrics: Optional[ScanMetrics] = None,
-    ) -> List[np.ndarray]:
-        """Returns per-batch (B,) bool match flags (numpy)."""
+    ) -> List[tuple]:
+        """batches: iterable of PackedBatch (a generator overlaps host
+        packing with device compute). Returns per-batch (flags bool (B,),
+        source_rows int64 (B,)) pairs."""
+        if self._backend == "pallas":
+            return self._run_pallas(batches, scan_windows, spend_x, spend_y,
+                                    label_x, label_y, nlabels, metrics)
+        return self._run_xla(batches, scan_windows, spend_x, spend_y,
+                             label_x, label_y, nlabels, metrics)
+
+    # ------------------------------------------------------------------
+    def _run_xla(self, batches, scan_windows, spend_x, spend_y,
+                 label_x, label_y, nlabels, metrics):
         fn = PL.scan_batch_fused if self._fused else PL.scan_batch
         if self._shardings is not None:
             w, sx, sy, lx, ly = self._shardings.put_query(
@@ -54,8 +86,10 @@ class BatchExecutor:
 
         timer = Timer()
         in_flight = []
-        results: List[Optional[np.ndarray]] = [None] * len(batches)
+        results: List[tuple] = []
+        nb = 0
         for i, b in enumerate(batches):
+            nb += 1
             try:
                 if self._shardings is not None:
                     args = self._shardings.put_batch(b)
@@ -66,15 +100,55 @@ class BatchExecutor:
                 flags = fn(*args, w, sx, sy, lx, ly, nlabels=nlabels)
             except Exception as e:                      # noqa: BLE001
                 raise ExecutionError(i, e) from e
-            in_flight.append((i, flags))
+            in_flight.append((flags, b.source_rows))
             # keep a small window in flight (async dispatch overlap, the
             # role of the reference's per-batch CUDA streams)
             while len(in_flight) > 2:
-                j, f = in_flight.pop(0)
-                results[j] = np.asarray(f)
-        for j, f in in_flight:
-            results[j] = np.asarray(f)
+                f, srcs = in_flight.pop(0)
+                results.append((np.asarray(f), srcs))
+        for f, srcs in in_flight:
+            results.append((np.asarray(f), srcs))
         if metrics is not None:
             metrics.device_seconds += timer.lap()
-            metrics.batches += len(batches)
+            metrics.batches += nb
+        return results
+
+    # ------------------------------------------------------------------
+    def _run_pallas(self, batches, scan_windows, spend_x, spend_y,
+                    label_x, label_y, nlabels, metrics):
+        import jax.numpy as jnp
+
+        from ..ops import kernels as K
+
+        br = self._block_rows
+        digits = jnp.asarray(np.asarray(scan_windows.digits, np.int32))
+        sx, sy, lx, ly = (jnp.asarray(a) for a in K.pack_query_arrays(
+            spend_x, spend_y, label_x, label_y, br))
+        comb = K.comb_table_f32()
+
+        timer = Timer()
+        in_flight = []
+        results: List[tuple] = []
+        nb = 0
+        for i, b in enumerate(batches):
+            nb += 1
+            try:
+                planes = K.pack_batch_arrays(
+                    b.tweak_x, b.tweak_y, b.row_valid, b.outputs_hi,
+                    b.outputs_lo, b.outputs_valid, br)
+                dev = tuple(jax.device_put(a) for a in planes)
+                flags = K._scan_pallas_call(
+                    *dev, digits, sx, sy, lx, ly, comb,
+                    nlabels=nlabels, block_rows=br)
+            except Exception as e:                      # noqa: BLE001
+                raise ExecutionError(i, e) from e
+            in_flight.append((b.tweak_x.shape[1], flags, b.source_rows))
+            while len(in_flight) > 2:
+                n, f, srcs = in_flight.pop(0)
+                results.append((np.asarray(f)[0, :n] != 0, srcs))
+        for n, f, srcs in in_flight:
+            results.append((np.asarray(f)[0, :n] != 0, srcs))
+        if metrics is not None:
+            metrics.device_seconds += timer.lap()
+            metrics.batches += nb
         return results

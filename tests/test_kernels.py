@@ -1,0 +1,102 @@
+"""Tests for the Pallas kernel path: host-side schedule + packing helpers
+on CPU, full-kernel golden parity on real TPU hardware (skipped on CPU —
+bench.py asserts the same parity before every timed run)."""
+
+import numpy as np
+import jax
+import pytest
+
+from cudasp_tpu.io import ingest
+from cudasp_tpu.ops import field as F
+from cudasp_tpu.ops import scalar as S
+from cudasp_tpu.oracle import ec as O
+
+
+def test_glv_signed_digits_reconstruct():
+    rng = np.random.default_rng(11)
+    for _ in range(20):
+        k = int(rng.integers(1, 2**63)) | (int(rng.integers(0, 2**63)) << 190)
+        digits = S.glv_signed_digits(k)
+        assert digits.shape == (2, S.SIGNED_WINDOWS)
+        assert np.abs(digits).max() <= 8
+        halves = []
+        for row in digits:
+            v = 0
+            for d in row:
+                v = v * 16 + int(d)
+            halves.append(v)
+        assert (halves[0] + halves[1] * S.GLV_LAMBDA - k) % O.N == 0
+
+
+def test_glv_signed_digits_match_unsigned_windows():
+    # both schedules must produce the same scalar mod n
+    k = 0xDEADBEEF_CAFEBABE_12345678_9ABCDEF0_0F1E2D3C_4B5A6978_87695A4B_3C2D1E0F
+    a1, n1, a2, n2 = S.glv_split(k)
+    digits = S.glv_signed_digits(k)
+    v1 = 0
+    for d in digits[0]:
+        v1 = v1 * 16 + int(d)
+    assert v1 == (-a1 if n1 else a1)
+
+
+def test_pack_batch_arrays_layout():
+    from cudasp_tpu.ops import kernels as K
+
+    B, M, BR = 300, 5, 256
+    rng = np.random.default_rng(3)
+    tx = rng.integers(0, 8191, (F.NLIMBS, B)).astype(np.int32)
+    ty = rng.integers(0, 8191, (F.NLIMBS, B)).astype(np.int32)
+    rv = rng.integers(0, 2, B).astype(bool)
+    oh = rng.integers(-2**31, 2**31 - 1, (B, M)).astype(np.int32)
+    ol = rng.integers(-2**31, 2**31 - 1, (B, M)).astype(np.int32)
+    ov = rng.integers(0, 2, (B, M)).astype(bool)
+    planes = K.pack_batch_arrays(tx, ty, rv, oh, ol, ov, BR)
+    ptx, pty, prv, poh, pol, pov = planes
+    assert ptx.shape == (F.NLIMBS, 512) and pty.shape == (F.NLIMBS, 512)
+    assert prv.shape == (1, 512) and prv.dtype == np.int32
+    assert poh.shape == (M, 512) and poh.dtype == np.uint32
+    assert np.array_equal(poh[:, :B], oh.T.view(np.uint32).T[:B].T)
+    assert (prv[0, B:] == 0).all()
+    assert (pov[:, B:] == 0).all()
+
+
+def test_split_outputs_roundtrip():
+    rng = np.random.default_rng(5)
+    v = rng.integers(-2**62, 2**62, 1000, dtype=np.int64)
+    hi, lo = ingest.split_outputs_i64(v)
+    back = (hi.astype(np.int64) << 32) | (lo.astype(np.int64) & 0xFFFFFFFF)
+    assert np.array_equal(back, v)
+
+
+@pytest.mark.skipif(jax.default_backend() == "cpu",
+                    reason="Pallas TPU kernel requires TPU hardware")
+def test_pallas_golden_parity_tpu():
+    from cudasp_tpu.oracle import vectors as V
+    from cudasp_tpu.oracle.encoding import blob32_to_scalar
+    from cudasp_tpu.ops.kernels import scan_batch_pallas
+
+    case = V.CASES[0]
+    rows = case.rows
+    B, M = 256, 8
+    tweaks = np.zeros((B, 64), np.uint8)
+    oh = np.zeros((B, M), np.int32)
+    ol = np.zeros((B, M), np.int32)
+    ov = np.zeros((B, M), bool)
+    expect = np.zeros(B, bool)
+    for j in range(B):
+        r = rows[j % len(rows)]
+        tweaks[j] = np.frombuffer(r.tweak_blob, np.uint8)
+        o = np.asarray(r.outputs, np.int64)
+        h, l = ingest.split_outputs_i64(o)
+        oh[j, : len(o)] = h
+        ol[j, : len(o)] = l
+        ov[j, : len(o)] = True
+        expect[j] = r.height in case.expected_heights
+    tx, ty = ingest.point_blobs_to_limbs(tweaks)
+    _, sx, sy, lx, ly, nl = ingest.pack_query_keys(
+        case.scan_key_blob, case.spend_blob, case.label_blobs or [])
+    digits = S.glv_signed_digits(blob32_to_scalar(case.scan_key_blob))
+    flags = np.asarray(scan_batch_pallas(
+        tx, ty, np.ones(B, bool), oh, ol, ov, digits, sx, sy, lx, ly,
+        nlabels=nl))
+    assert np.array_equal(flags, expect)
