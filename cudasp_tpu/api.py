@@ -169,11 +169,16 @@ def scan(
     tile = cfg.tile or (262144 if executor.backend == "pallas" else 8192)
     eff_batch = min(_pow2_at_least(cfg.batch_size),
                     _pow2_at_least(max(n, 1)), tile)
+    # adaptive outputs width: never ship wider planes than the data needs
+    lens = offsets[1:] - offsets[:-1]
+    max_out = int(min(cfg.max_outputs, max(int(lens.max()) if n else 1, 1)))
     pack_time = [0.0]
     batches = ingest.iter_packed(tweaks, flat, offsets,
                                  batch_size=eff_batch,
-                                 max_outputs=cfg.max_outputs,
-                                 pack_seconds=pack_time)
+                                 max_outputs=max_out,
+                                 pack_seconds=pack_time,
+                                 layout="kernel"
+                                 if executor.backend == "pallas" else "xla")
     if metrics is not None:
         metrics.rows_in = n
 

@@ -90,14 +90,19 @@ def outputs_to_csr(outputs_list: Sequence) -> Tuple[np.ndarray, np.ndarray]:
 
 @dataclass
 class PackedBatch:
-    """Device-ready arrays for one batch (shapes fixed by (B, M))."""
-    tweak_x: np.ndarray       # (NLIMBS, B) int32
-    tweak_y: np.ndarray       # (NLIMBS, B) int32
+    """Device-ready arrays for one batch (shapes fixed by (B, M)).
+
+    layout="xla": tweak_x/tweak_y limb planes populated (XLA pipeline).
+    layout="kernel": tweak_blobs raw (B, 64) bytes populated instead — the
+    Pallas kernel re-limbs on device, halving the upload."""
+    tweak_x: Optional[np.ndarray]       # (NLIMBS, B) int32 (layout="xla")
+    tweak_y: Optional[np.ndarray]       # (NLIMBS, B) int32 (layout="xla")
     row_valid: np.ndarray     # (B,) bool
     outputs_hi: np.ndarray    # (B, M) int32
     outputs_lo: np.ndarray    # (B, M) int32
     outputs_valid: np.ndarray  # (B, M) bool
     source_rows: np.ndarray   # (B,) int64 — original row index (-1 = pad)
+    tweak_blobs: Optional[np.ndarray] = None  # (B, 64) u8 (layout="kernel")
 
     @property
     def n_valid(self) -> int:
@@ -112,6 +117,7 @@ def iter_packed(
     max_outputs: int,
     row_indices: Optional[np.ndarray] = None,
     pack_seconds: Optional[list] = None,
+    layout: str = "xla",
 ):
     """Yield fixed-shape PackedBatches, fully vectorized, lazily per batch
     so the executor overlaps host packing with device compute (the role of
@@ -164,11 +170,16 @@ def iter_packed(
         vmask = midx < take[sl, None]
         vals = outputs_flat[np.where(vmask, gidx, 0)]           # (k, M)
         b_hi, b_lo = split_outputs_i64(vals)
-        tx, ty = point_blobs_to_limbs(padrows(tweak_blobs[src[sl]]))
+        blobs = padrows(tweak_blobs[src[sl]])
+        if layout == "kernel":
+            tx = ty = None
+        else:
+            tx, ty = point_blobs_to_limbs(blobs)
 
         batch = PackedBatch(
             tweak_x=tx,
             tweak_y=ty,
+            tweak_blobs=blobs if layout == "kernel" else None,
             row_valid=np.concatenate(
                 [np.ones(k, bool), np.zeros(pad, bool)]),
             outputs_hi=padrows(b_hi),

@@ -212,12 +212,29 @@ def _inv_chain_raw(zs):
 # ---------------------------------------------------------------------------
 
 
-def _scan_kernel(nlabels, digits_ref,
-                 tx_ref, ty_ref, rv_ref, oh_ref, ol_ref, ov_ref,
+def _limbs_from_words(w):
+    """(8, BT) uint32 little-endian words -> (NLIMBS, BT) int32 13-bit
+    limbs, on-device (the reference does the equivalent on the host,
+    src/cudasp_extension.cu:56-85; keeping blobs raw until VMEM halves the
+    HBM upload per row)."""
+    rows = []
+    for i in range(F.NLIMBS):
+        bit = F.LB * i
+        k, s = bit // 32, bit % 32
+        window = w[k : k + 1] >> np.uint32(s)
+        if s + F.LB > 32 and k + 1 < 8:
+            window = window | (w[k + 1 : k + 2] << np.uint32(32 - s))
+        rows.append(window & np.uint32(F.MASK))
+    return jnp.concatenate(rows, axis=0).astype(jnp.int32)
+
+
+def _scan_kernel(nlabels, nout, digits_ref,
+                 tw_ref, oh_ref, ol_ref, ovm_ref,
                  sx_ref, sy_ref, lx_ref, ly_ref, comb_ref,
                  out_ref, tabx, taby, sbytes_ref):
-    bx = tx_ref[:]
-    by = ty_ref[:]
+    tw = tw_ref[:]                     # (16, BT) uint32: LE x words || y
+    bx = _limbs_from_words(tw[:8])
+    by = _limbs_from_words(tw[8:])
     one = F.one_like(bx)
     beta = F.literal_planes(F.int_to_limbs(S.GLV_BETA), bx.shape[1])
 
@@ -328,8 +345,12 @@ def _scan_kernel(nlabels, digits_ref,
     zinvs = _inv_chain_raw([c[2] for c in cands])
     oh = oh_ref[:]
     ol = ol_ref[:]
-    ov = ov_ref[:] != 0
-    hit = jnp.zeros_like(inf0)
+    ovm = ovm_ref[:]                   # (1, BT) uint32 bitmask; bit 31 = row_valid
+    ov = jnp.concatenate(
+        [(ovm >> np.uint32(j)) & np.uint32(1) for j in range(nout)],
+        axis=0) != 0                   # (M, BT) bool
+    rv = ((ovm >> np.uint32(31)) & np.uint32(1)) != 0
+    hit = jnp.zeros((1, bx.shape[1]), jnp.bool_)
     for (cx, _, cz, cinf), czi in zip(cands, zinvs):
         x_can = _canon2d(F.mul(cx, F.sqr(czi)))
         words = _words_be_2d(x_can)
@@ -337,14 +358,14 @@ def _scan_kernel(nlabels, digits_ref,
         eq = (words[0:1] == oh) & (words[1:2] == ol) & ov
         hit = hit | (jnp.any(eq, axis=0, keepdims=True) & ~dead)
 
-    out_ref[:] = (hit & (rv_ref[:] != 0) & ~einf).astype(jnp.int32)
+    out_ref[:] = (hit & rv & ~einf).astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("nlabels", "block_rows"))
-def _scan_pallas_call(tweak_x, tweak_y, row_valid, outputs_hi, outputs_lo,
-                      outputs_valid, digits, spend_x, spend_y,
+def _scan_pallas_call(tweak_words, outputs_hi, outputs_lo, outputs_mask,
+                      digits, spend_x, spend_y,
                       label_x, label_y, comb, *, nlabels, block_rows):
-    B = tweak_x.shape[1]
+    B = tweak_words.shape[1]
     M = outputs_hi.shape[0]
     L = label_x.shape[0]
     nblocks = B // block_rows
@@ -362,9 +383,9 @@ def _scan_pallas_call(tweak_x, tweak_y, row_valid, outputs_hi, outputs_lo,
         num_scalar_prefetch=1,
         grid=(nblocks,),
         in_specs=[
-            col_block(N), col_block(N),          # tweak x/y
-            col_block(1),                        # row_valid
-            col_block(M), col_block(M), col_block(M),   # outputs hi/lo/valid
+            col_block(16),                       # raw LE point words
+            col_block(M), col_block(M),          # outputs hi/lo
+            col_block(1),                        # validity bitmask
             fixed((N, block_rows)), fixed((N, block_rows)),        # spend
             fixed((L, N, block_rows)), fixed((L, N, block_rows)),  # labels
             fixed((32, 2 * N, 256)),             # comb table
@@ -378,38 +399,49 @@ def _scan_pallas_call(tweak_x, tweak_y, row_valid, outputs_hi, outputs_lo,
         ],
     )
     flags = pl.pallas_call(
-        functools.partial(_scan_kernel, nlabels),
+        functools.partial(_scan_kernel, nlabels, M),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((1, B), jnp.int32),
-    )(digits, tweak_x, tweak_y, row_valid, outputs_hi, outputs_lo,
-      outputs_valid, spend_x, spend_y, label_x, label_y, comb)
+    )(digits, tweak_words, outputs_hi, outputs_lo, outputs_mask,
+      spend_x, spend_y, label_x, label_y, comb)
     return flags
 
 
-def pack_batch_arrays(tweak_x, tweak_y, row_valid, outputs_hi, outputs_lo,
+def pack_batch_arrays(tweak_blobs, row_valid, outputs_hi, outputs_lo,
                       outputs_valid, block_rows: int = 256):
     """Host-side layout conversion of one packed batch into the kernel's
-    expected planes: lane-major, B padded to a block_rows multiple, match
-    words as uint32, masks as int32."""
-    B = int(tweak_x.shape[1])
+    compact planes (~132 B/row instead of the limb layout's ~273 B/row —
+    the H2D link is the scan's bandwidth bottleneck):
+
+      tweak_words (16, Bp) uint32 — the raw LE blob, re-limbed on device
+      oh/ol       (M, Bp)  uint32 — match words
+      ovm         (1, Bp)  uint32 — bit j = outputs_valid[:, j];
+                                    bit 31 = row_valid
+    """
+    B = int(tweak_blobs.shape[0])
+    M = int(outputs_hi.shape[1])
     Bp = max(block_rows, ((B + block_rows - 1) // block_rows) * block_rows)
     pad = Bp - B
 
     def padB(a):
-        a = np.asarray(a)
         if pad == 0:
             return a
         widths = [(0, 0)] * a.ndim
         widths[-1] = (0, pad)
         return np.pad(a, widths)
 
+    words = np.ascontiguousarray(
+        np.ascontiguousarray(tweak_blobs, np.uint8).view(np.uint32).T)
+    ovm = np.zeros(B, np.uint32)
+    ov = np.asarray(outputs_valid)
+    for j in range(M):
+        ovm |= ov[:, j].astype(np.uint32) << np.uint32(j)
+    ovm |= np.asarray(row_valid).astype(np.uint32) << np.uint32(31)
     return (
-        padB(tweak_x),
-        padB(tweak_y),
-        padB(np.asarray(row_valid).astype(np.int32)[None, :]),
+        padB(words),
         padB(np.ascontiguousarray(np.asarray(outputs_hi).T).view(np.uint32)),
         padB(np.ascontiguousarray(np.asarray(outputs_lo).T).view(np.uint32)),
-        padB(np.asarray(outputs_valid).astype(np.int32).T),
+        padB(ovm[None, :]),
     )
 
 
@@ -425,17 +457,18 @@ def pack_query_arrays(spend_x, spend_y, label_x, label_y,
     return tile(spend_x), tile(spend_y), tile(label_x), tile(label_y)
 
 
-def scan_batch_pallas(tweak_x, tweak_y, row_valid, outputs_hi, outputs_lo,
+def scan_batch_pallas(tweak_blobs, row_valid, outputs_hi, outputs_lo,
                       outputs_valid, digits, spend_x, spend_y,
                       label_x, label_y, *, nlabels: int,
                       block_rows: int = 256):
     """Pallas-fused scan over one packed batch. Same contract as
-    pipeline.scan_batch_fused but takes the (2, 33) signed digit schedule
-    (scalar.glv_signed_digits) instead of the unsigned window pytree.
+    pipeline.scan_batch_fused but takes raw (B, 64) tweak blobs and the
+    (2, 33) signed digit schedule (scalar.glv_signed_digits) instead of
+    limb planes + the unsigned window pytree.
 
-    Accepts host or device arrays; pads B to a block_rows multiple."""
-    B = int(tweak_x.shape[1])
-    planes = pack_batch_arrays(tweak_x, tweak_y, row_valid, outputs_hi,
+    Accepts host arrays; pads B to a block_rows multiple."""
+    B = int(tweak_blobs.shape[0])
+    planes = pack_batch_arrays(tweak_blobs, row_valid, outputs_hi,
                                outputs_lo, outputs_valid, block_rows)
     sx, sy, lx, ly = pack_query_arrays(spend_x, spend_y, label_x, label_y,
                                        block_rows)

@@ -133,8 +133,12 @@ class BatchExecutor:
         for i, b in enumerate(batches):
             nb += 1
             try:
+                blobs = b.tweak_blobs
+                if blobs is None:       # caller packed with layout="xla"
+                    raise ValueError(
+                        "pallas backend needs layout='kernel' batches")
                 planes = K.pack_batch_arrays(
-                    b.tweak_x, b.tweak_y, b.row_valid, b.outputs_hi,
+                    blobs, b.row_valid, b.outputs_hi,
                     b.outputs_lo, b.outputs_valid, br)
                 dev = tuple(jax.device_put(a) for a in planes)
                 flags = K._scan_pallas_call(
@@ -142,7 +146,7 @@ class BatchExecutor:
                     nlabels=nlabels, block_rows=br)
             except Exception as e:                      # noqa: BLE001
                 raise ExecutionError(i, e) from e
-            in_flight.append((b.tweak_x.shape[1], flags, b.source_rows))
+            in_flight.append((blobs.shape[0], flags, b.source_rows))
             while len(in_flight) > 2:
                 n, f, srcs = in_flight.pop(0)
                 results.append((np.asarray(f)[0, :n] != 0, srcs))

@@ -44,20 +44,22 @@ def test_pack_batch_arrays_layout():
 
     B, M, BR = 300, 5, 256
     rng = np.random.default_rng(3)
-    tx = rng.integers(0, 8191, (F.NLIMBS, B)).astype(np.int32)
-    ty = rng.integers(0, 8191, (F.NLIMBS, B)).astype(np.int32)
+    blobs = rng.integers(0, 256, (B, 64)).astype(np.uint8)
     rv = rng.integers(0, 2, B).astype(bool)
     oh = rng.integers(-2**31, 2**31 - 1, (B, M)).astype(np.int32)
     ol = rng.integers(-2**31, 2**31 - 1, (B, M)).astype(np.int32)
     ov = rng.integers(0, 2, (B, M)).astype(bool)
-    planes = K.pack_batch_arrays(tx, ty, rv, oh, ol, ov, BR)
-    ptx, pty, prv, poh, pol, pov = planes
-    assert ptx.shape == (F.NLIMBS, 512) and pty.shape == (F.NLIMBS, 512)
-    assert prv.shape == (1, 512) and prv.dtype == np.int32
+    words, poh, pol, povm = K.pack_batch_arrays(blobs, rv, oh, ol, ov, BR)
+    assert words.shape == (16, 512) and words.dtype == np.uint32
+    assert np.array_equal(words[:, :B],
+                          blobs.view(np.uint32).T)
     assert poh.shape == (M, 512) and poh.dtype == np.uint32
-    assert np.array_equal(poh[:, :B], oh.T.view(np.uint32).T[:B].T)
-    assert (prv[0, B:] == 0).all()
-    assert (pov[:, B:] == 0).all()
+    assert np.array_equal(poh[:, :B].T, oh.view(np.uint32))
+    # bitmask: bit j = outputs_valid, bit 31 = row_valid; pad lanes zero
+    for j in range(M):
+        assert np.array_equal(((povm[0, :B] >> j) & 1) != 0, ov[:, j])
+    assert np.array_equal(((povm[0, :B] >> 31) & 1) != 0, rv)
+    assert (povm[0, B:] == 0).all()
 
 
 def test_split_outputs_roundtrip():
@@ -92,11 +94,10 @@ def test_pallas_golden_parity_tpu():
         ol[j, : len(o)] = l
         ov[j, : len(o)] = True
         expect[j] = r.height in case.expected_heights
-    tx, ty = ingest.point_blobs_to_limbs(tweaks)
     _, sx, sy, lx, ly, nl = ingest.pack_query_keys(
         case.scan_key_blob, case.spend_blob, case.label_blobs or [])
     digits = S.glv_signed_digits(blob32_to_scalar(case.scan_key_blob))
     flags = np.asarray(scan_batch_pallas(
-        tx, ty, np.ones(B, bool), oh, ol, ov, digits, sx, sy, lx, ly,
+        tweaks, np.ones(B, bool), oh, ol, ov, digits, sx, sy, lx, ly,
         nlabels=nl))
     assert np.array_equal(flags, expect)
