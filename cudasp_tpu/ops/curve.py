@@ -70,11 +70,10 @@ def dbl(p: JacPoint) -> JacPoint:
     b = F.sqr(p.y)
     c = F.sqr(b)
     t = F.sqr(F.add(p.x, b))
-    d = F.mul_small(F.sub(F.sub(t, a), c), 2)
+    d = F.dbl_sub2(t, a, c)
     e = F.mul_small(a, 3)
-    f = F.sqr(e)
-    x3 = F.sub(f, F.mul_small(d, 2))
-    y3 = F.sub(F.mul(e, F.sub(d, x3)), F.mul_small(c, 8))
+    x3 = F.sub_dbl(F.sqr(e), d)
+    y3 = F.sub_scaled8(F.mul(e, F.sub(d, x3)), c)
     z3 = F.mul_small(F.mul(p.y, p.z), 2)
     return JacPoint(x3, y3, z3, p.inf)
 
@@ -118,8 +117,7 @@ def madd(p: JacPoint, q: AffinePoint) -> JacPoint:
     hh = F.sqr(h)
     h3 = F.mul(h, hh)
     v = F.mul(p.x, hh)
-    r2 = F.sqr(r)
-    x3 = F.sub(F.sub(r2, h3), F.mul_small(v, 2))
+    x3 = F.sub2_dbl(F.sqr(r), h3, v)
     y3 = F.sub(F.mul(r, F.sub(v, x3)), F.mul(p.y, h3))
     z3 = F.mul(p.z, h)
     added = JacPoint(x3, y3, z3, jnp.zeros_like(p.inf))
@@ -138,8 +136,7 @@ def madd_fast(p: JacPoint, q: AffinePoint) -> JacPoint:
     hh = F.sqr(h)
     h3 = F.mul(h, hh)
     v = F.mul(p.x, hh)
-    r2 = F.sqr(r)
-    x3 = F.sub(F.sub(r2, h3), F.mul_small(v, 2))
+    x3 = F.sub2_dbl(F.sqr(r), h3, v)
     y3 = F.sub(F.mul(r, F.sub(v, x3)), F.mul(p.y, h3))
     z3 = F.mul(p.z, h)
     return JacPoint(x3, y3, z3, p.inf | q.inf)
@@ -161,8 +158,7 @@ def jadd(p: JacPoint, q: JacPoint) -> JacPoint:
     hh = F.sqr(h)
     h3 = F.mul(h, hh)
     v = F.mul(u1, hh)
-    r2 = F.sqr(r)
-    x3 = F.sub(F.sub(r2, h3), F.mul_small(v, 2))
+    x3 = F.sub2_dbl(F.sqr(r), h3, v)
     y3 = F.sub(F.mul(r, F.sub(v, x3)), F.mul(s1, h3))
     z3 = F.mul(F.mul(p.z, q.z), h)
     added = JacPoint(x3, y3, z3, jnp.zeros_like(p.inf))

@@ -14,9 +14,16 @@ from scratch:
     (mod p). This removes the reference's to/from-Montgomery conversions
     (src/cudasp_gpu.cu:110-116,257-258) entirely.
 
-Normal form invariant ("reduced"): all limbs in [0, ~2^13], which is
-mul-safe (20 * 8200^2 < 2^31). Values are only brought to canonical
+Normal form invariant ("mulsafe"): limbs 0..18 in [0, ~8300], limb 19
+(top) < 2^13, which keeps every 20-term product column < 2^31
+(20 * 9500^2 < 2^31 with margin). Values are only brought to canonical
 (< p, unique) form at serialization/comparison points.
+
+Reduction is LAZY: add/sub/neg cost exactly two carry-style passes
+(_fold256 + one carry) instead of a full normalization, and fused helpers
+(sub2, lincomb-style lines in the EC formulas) fold several +- terms into
+one such pass pair. The serial pass count — not the element count — is
+what the VPU latency chain is made of, so passes are the budget.
 
 Broadcasting: shapes (NLIMBS, 1) and (NLIMBS, B) mix freely, so shared
 per-query constants (spend key, labels) stay unexpanded.
@@ -66,18 +73,18 @@ def limbs_to_int(limbs) -> int:
     return sum(int(d) << (LB * i) for i, d in enumerate(arr))
 
 
-def _subtrahend_limbs(mult: int) -> np.ndarray:
+def _subtrahend_limbs(mult: int, slack: int = 2) -> np.ndarray:
     """Borrow-proof limb representation D of mult*p with every non-top limb
-    >= 2*BASE, so per-limb a + D - b never goes negative for any operand with
-    limbs <= 2*BASE. Used by sub/neg."""
+    >= slack*BASE, so per-limb a + D - b never goes negative for any operand
+    with limbs <= slack*BASE. Used by sub/neg and the fused-line helpers."""
     v = mult * P_INT
     out = []
     for _ in range(NLIMBS - 1):
-        out.append((v & MASK) + 2 * BASE)
+        out.append((v & MASK) + slack * BASE)
         v >>= LB
-        v -= 2
-    if v < 0:
-        raise ValueError("mult too small for borrow-proof form")
+        v -= slack
+    if v < 0 or v >= BASE:
+        raise ValueError("mult/slack out of range for borrow-proof form")
     out.append(v)
     d = np.array(out, dtype=np.int32)
     assert limbs_to_int(d) == mult * P_INT
@@ -85,7 +92,9 @@ def _subtrahend_limbs(mult: int) -> np.ndarray:
 
 
 P_LIMBS = int_to_limbs(P_INT)                     # canonical p
-D8_LIMBS = _subtrahend_limbs(8)                   # 8p, borrow-proof
+D8_LIMBS = _subtrahend_limbs(8)                   # 8p, covers limbs <= 2*BASE
+D16_3_LIMBS = _subtrahend_limbs(16, 3)            # 16p, covers <= 3*BASE
+D16_9_LIMBS = _subtrahend_limbs(16, 9)            # 16p, covers <= 9*BASE
 
 
 def _literal_col(limbs) -> jnp.ndarray:
@@ -194,16 +203,27 @@ def _finalize(v: jnp.ndarray) -> jnp.ndarray:
 
 
 def _reduce_cols(cols: jnp.ndarray) -> jnp.ndarray:
-    """Full reduction of raw product columns (39,B) (each < 20*8200^2)."""
-    v = _carry(cols, cols.shape[0] + 1)   # limbs <= 8191 + ~167k
-    v = _carry(v, v.shape[0] + 1)         # limbs <= ~8212
-    v = _fold20(v)                        # (23,B), limbs <= ~1.4e8
-    v = _carry(v, v.shape[0] + 1)         # limbs <= ~25k
-    v = _carry(v, v.shape[0] + 1)         # limbs <= ~8194
-    v = _fold20(v)                        # (NLIMBS+?,B) small tail
+    """Reduction of raw product columns (39,B) (each < 20*8400^2 < 2^31)
+    to mulsafe form — the minimal serial pass chain (bounds audited per
+    step; every intermediate < 2^31):
+
+      carry   limbs <= 8191 + 172k
+      carry   limbs <= 8219
+      fold20  (23,B)  limbs <= 1.37e8
+      carry   limbs <= 24.9k
+      fold20  (20,B)  limbs <= 4.2e8 (rows 0..5), rest <= 24.9k
+      fold256 strips top-limb bits >= 2^9 (e <= 49)
+      carry   limbs <= 59k (rows 1..6), rest <= 8194
+      fold256 e <= 1
+      carry   limbs <= 8199, top < 2^10     -> mulsafe
+    """
+    v = _carry(cols, cols.shape[0] + 1)
     v = _carry(v, v.shape[0] + 1)
-    v = _carry(v, v.shape[0])             # limbs <= ~8194, tail tiny
-    return _finalize(v)
+    v = _fold20(v)
+    v = _carry(v, v.shape[0] + 1)
+    v = _fold20(v)
+    v = _carry(_fold256(v), NLIMBS)
+    return _carry(_fold256(v), NLIMBS)
 
 
 # ---------------------------------------------------------------------------
@@ -211,32 +231,66 @@ def _reduce_cols(cols: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def _lazy(s: jnp.ndarray) -> jnp.ndarray:
+    """Two-pass finisher for add-like combinations: fold top-limb bits
+    >= 2^9 back (cheap — touches 3 rows), then one carry pass. Valid for
+    non-negative (NLIMBS, B) inputs with limbs < ~2^22 (then e <= 2^13 and
+    every intermediate stays < 2^31). Output is mulsafe."""
+    return _carry(_fold256(s), NLIMBS)
+
+
 def add(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """a + b (mod p), normal-form output. Inputs in normal form."""
-    s = a + b                      # limbs <= ~2^14.1
-    s = _carry(s, NLIMBS + 1)      # top carry possible when both tops ~2^9+
-    return _finalize(s)
+    """a + b (mod p), mulsafe output. Inputs mulsafe."""
+    return _lazy(a + b)
 
 
 def sub(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """a - b (mod p). b limbs must be <= 2*BASE (any normal/add output)."""
-    s = a + (_d8_col() - b)
-    s = _carry(s, NLIMBS + 1)
-    return _finalize(s)
+    """a - b (mod p). b limbs must be <= 2*BASE (any mulsafe value)."""
+    return _lazy(a + (_d8_col() - b))
 
 
 def neg(b: jnp.ndarray) -> jnp.ndarray:
-    s = _d8_col() - b
-    s = _carry(s, NLIMBS + 1)
-    return _finalize(s)
+    return _lazy(_d8_col() - b)
 
 
 def mul_small(a: jnp.ndarray, c: int) -> jnp.ndarray:
     """a * c for small positive c (<= ~64)."""
-    s = a * c
-    s = _carry(s, NLIMBS + 1)
-    s = _carry(s, NLIMBS + 1)
-    return _finalize(s)
+    return _lazy(a * c)
+
+
+# Fused +- lines for the EC formulas: each costs ONE _lazy pass pair
+# instead of chaining 2-3 two-pass ops. Borrow-proofness per line is
+# guaranteed by the slack of the matching D constant (limbs audited:
+# every per-limb sum stays < 2^31 and every D - x term >= 0).
+
+
+def sub2(a: jnp.ndarray, b: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
+    """a - b - c (mod p)."""
+    d8 = _d8_col()
+    return _lazy(a + (d8 - b) + (d8 - c))
+
+
+def dbl_sub2(t: jnp.ndarray, a: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
+    """2*(t - a - c) (mod p)."""
+    d8 = _d8_col()
+    s = t + (d8 - a) + (d8 - c)
+    return _lazy(s + s)
+
+
+def sub_dbl(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """a - 2b (mod p): b doubled needs the slack-3 subtrahend."""
+    return _lazy(a + (_literal_col(D16_3_LIMBS) - (b + b)))
+
+
+def sub2_dbl(a: jnp.ndarray, b: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
+    """a - b - 2c (mod p)."""
+    return _lazy(a + (_d8_col() - b)
+                 + (_literal_col(D16_3_LIMBS) - (c + c)))
+
+
+def sub_scaled8(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """a - 8b (mod p): 8b limbs <= 8*8400 < 9*BASE -> slack-9 subtrahend."""
+    return _lazy(a + (_literal_col(D16_9_LIMBS) - b * 8))
 
 
 def mul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:

@@ -155,7 +155,7 @@ def _madd_core(px, py, pz, qx, qy):
     hh = F.sqr(h)
     h3 = F.mul(h, hh)
     v = F.mul(px, hh)
-    x3 = F.sub(F.sub(F.sqr(r), h3), F.mul_small(v, 2))
+    x3 = F.sub2_dbl(F.sqr(r), h3, v)
     y3 = F.sub(F.mul(r, F.sub(v, x3)), F.mul(py, h3))
     z3 = F.mul(pz, h)
     return x3, y3, z3
@@ -167,10 +167,10 @@ def _dbl(px, py, pz):
     b = F.sqr(py)
     c = F.sqr(b)
     t = F.sqr(F.add(px, b))
-    d = F.mul_small(F.sub(F.sub(t, a), c), 2)
+    d = F.dbl_sub2(t, a, c)
     e = F.mul_small(a, 3)
-    x3 = F.sub(F.sqr(e), F.mul_small(d, 2))
-    y3 = F.sub(F.mul(e, F.sub(d, x3)), F.mul_small(c, 8))
+    x3 = F.sub_dbl(F.sqr(e), d)
+    y3 = F.sub_scaled8(F.mul(e, F.sub(d, x3)), c)
     z3 = F.mul_small(F.mul(py, pz), 2)
     return x3, y3, z3
 
