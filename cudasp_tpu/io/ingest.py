@@ -213,6 +213,7 @@ class ScanSchedule(NamedTuple):
     w2: np.ndarray        # (32,) int32
     n2: np.int32
     digits: np.ndarray    # (2, 33) int32 signed
+    odd: np.ndarray       # (2, 34) int32 odd-digit schedule (Pallas ladder)
 
 
 def pack_query_keys(scan_key_blob: bytes, spend_blob: bytes,
@@ -222,7 +223,8 @@ def pack_query_keys(scan_key_blob: bytes, spend_blob: bytes,
     from ..ops import scalar as S
 
     k = blob32_to_scalar(bytes(scan_key_blob))
-    windows = ScanSchedule(*S.glv_windows(k), S.glv_signed_digits(k))
+    windows = ScanSchedule(*S.glv_windows(k), S.glv_signed_digits(k),
+                           S.glv_odd_sched(k))
     sx, sy = blob64_to_point(bytes(spend_blob))
     spend_x = F.int_to_limbs(sx)[:, None]
     spend_y = F.int_to_limbs(sy)[:, None]

@@ -13,10 +13,11 @@ flags without touching HBM in between:
                                GLV half-2 derived via the lambda
                                endomorphism (x -> beta*x) instead of a
                                second chain
-    GLV ladder (33 windows)  - 4 doublings + 2 mixed adds per window;
-                               signed digits arrive via scalar prefetch
-                               (SMEM), so table selects are shared-index
-                               dynamic slices: zero divergence
+    GLV ladder (32 windows)  - 4 doublings + 2 mixed adds per window;
+                               odd signed digits (never zero) arrive via
+                               scalar prefetch (SMEM), so table selects are
+                               shared-index dynamic slices with no skip
+                               selects and no infinity tracking
     to-affine + tagged hash  - Fermat inversion, canonicalize, 1 SHA-256
                                compression (midstate folded into literals)
     fixed-base comb (32 win) - one-hot f32 matmuls on the MXU against the
@@ -48,7 +49,6 @@ from . import curve as C
 from . import field as F
 from . import scalar as S
 
-NW = S.SIGNED_WINDOWS           # 33 ladder windows per GLV half
 TAG_MIDSTATE = tagged_midstate(b"BIP0352/SharedSecret")
 BITLEN = (64 + 37) * 8          # tag block + 37-byte message
 
@@ -145,6 +145,26 @@ def _bytes_from_words_2d(words):
     return jnp.concatenate(rows, axis=0).astype(jnp.int32)
 
 
+def _jadd_shared_core(px, py, pz, qx, qy, qz, qzz, qzc):
+    """Incomplete Jacobian + Jacobian add where q's z^2 (qzz) and z^3 (qzc)
+    are precomputed and shared across calls (10M+3S per call). Used by the
+    odd-multiple table chain, whose adds are all +2P."""
+    z1z1 = F.sqr(pz)
+    u1 = F.mul(px, qzz)
+    s1 = F.mul(py, qzc)
+    u2 = F.mul(qx, z1z1)
+    s2 = F.mul(qy, F.mul(pz, z1z1))
+    h = F.sub(u2, u1)
+    r = F.sub(s2, s1)
+    hh = F.sqr(h)
+    h3 = F.mul(h, hh)
+    v = F.mul(u1, hh)
+    x3 = F.sub2_dbl(F.sqr(r), h3, v)
+    y3 = F.sub(F.mul(r, F.sub(v, x3)), F.mul(s1, h3))
+    z3 = F.mul(F.mul(pz, qz), h)
+    return x3, y3, z3
+
+
 def _madd_core(px, py, pz, qx, qy):
     """Incomplete mixed add (8M+3S); caller owns degenerate-case selects."""
     z1z1 = F.sqr(pz)
@@ -232,22 +252,29 @@ def _scan_kernel(nlabels, nout, digits_ref,
                  tw_ref, oh_ref, ol_ref, ovm_ref,
                  sx_ref, sy_ref, lx_ref, ly_ref, comb_ref,
                  out_ref, tabx, taby, sbytes_ref):
+    """One row tile, tweak words -> match flags, fully VMEM-resident.
+    (A split ladder/finish two-kernel variant was measured ~7% slower at
+    786K rows — the HBM round-trip of the Jacobian plane plus the second
+    dispatch cost more than wide-block inversion amortization bought.)"""
     tw = tw_ref[:]                     # (16, BT) uint32: LE x words || y
     bx = _limbs_from_words(tw[:8])
     by = _limbs_from_words(tw[8:])
     one = F.one_like(bx)
     beta = F.literal_planes(F.int_to_limbs(S.GLV_BETA), bx.shape[1])
 
-    # ---- per-row window table: m*P for m = 1..8 (Jacobian chain), then one
-    # batched inversion to affine; GLV half-2 is the beta-endomorphism image
+    # ---- per-row odd-multiple table: (2m+1)*P for m = 0..7 built as a
+    # Jacobian chain of +2P adds (2P's z^2/z^3 hoisted), then one batched
+    # inversion to affine; GLV half-2 is the beta-endomorphism image
     # (shares y), signs are a second y plane (SURVEY.md §7 step 4a).
-    chain = [(bx, by, one)]
-    cur = _dbl(bx, by, one)
-    chain.append(cur)
-    for _ in range(6):
-        cur = _madd_core(cur[0], cur[1], cur[2], bx, by)
-        chain.append(cur)
-    zinvs = _inv_chain_raw([c[2] for c in chain[1:]])
+    d2x, d2y, d2z = _dbl(bx, by, one)
+    qzz = F.sqr(d2z)
+    qzc = F.mul(d2z, qzz)
+    chain = [_madd_core(d2x, d2y, d2z, bx, by)]          # 3P
+    for _ in range(6):                                   # 5P .. 15P
+        c = chain[-1]
+        chain.append(_jadd_shared_core(c[0], c[1], c[2],
+                                       d2x, d2y, d2z, qzz, qzc))
+    zinvs = _inv_chain_raw([c[2] for c in chain])
     tabx[0, 0] = bx
     tabx[1, 0] = F.mul(beta, bx)
     taby[0, 0] = by
@@ -255,44 +282,53 @@ def _scan_kernel(nlabels, nout, digits_ref,
     for m in range(1, 8):
         zi = zinvs[m - 1]
         zi2 = F.sqr(zi)
-        ax = F.mul(chain[m][0], zi2)
-        ay = F.mul(chain[m][1], F.mul(zi, zi2))
+        ax = F.mul(chain[m - 1][0], zi2)
+        ay = F.mul(chain[m - 1][1], F.mul(zi, zi2))
         tabx[0, m] = ax
         tabx[1, m] = F.mul(beta, ax)
         taby[0, m] = ay
         taby[1, m] = F.neg(ay)
 
-    # ---- GLV ladder: 33 windows x (4 dbl + 2 table adds); digits shared
-    # across lanes -> every select is a scalar-indexed dynamic slice.
-    zeros = jnp.zeros_like(bx)
-    inf0 = jnp.ones((1, bx.shape[1]), jnp.int32)   # int32 mask: Mosaic
-    # cannot legalize scf.for loops with i1-vector carries
+    # ---- GLV ladder over the odd-digit schedule (scalar.glv_odd_sched):
+    # 32 windows x (4 dbl + 2 table adds). Digits are shared across lanes
+    # (table selects are scalar-indexed dynamic slices) and NEVER ZERO, so
+    # the loop needs no zero-skip selects and no infinity tracking — the
+    # accumulator starts at the first window's table entry.
+    def pick(h, i):
+        code = digits_ref[h, i]
+        return tabx[h, code & 7], taby[code >> 3, code & 7]
+
+    px, py = pick(0, 0)
+    qx, qy = pick(1, 0)
+    px, py, pz = _madd_core(px, py, one, qx, qy)
 
     def window(i, carry):
-        px, py, pz, pinf_i = carry
-        pinf = pinf_i != 0
+        px, py, pz = carry
         for _ in range(4):
             px, py, pz = _dbl(px, py, pz)
         for h in range(2):
-            d = digits_ref[h, i]
-            idx = jnp.maximum(jnp.abs(d) - 1, 0)
-            sgn = (d < 0).astype(jnp.int32)
-            qx = tabx[h, idx]
-            qy = taby[sgn, idx]
-            ax, ay, az = _madd_core(px, py, pz, qx, qy)
-            skip = d == 0
-            px = jnp.where(skip, px, _sel(pinf, qx, ax))
-            py = jnp.where(skip, py, _sel(pinf, qy, ay))
-            pz = jnp.where(skip, pz, _sel(pinf, one, az))
-            pinf = pinf & skip
-        return px, py, pz, pinf.astype(jnp.int32)
+            qx, qy = pick(h, i)
+            px, py, pz = _madd_core(px, py, pz, qx, qy)
+        return px, py, pz
 
-    ex, ey, ez, einf_i = jax.lax.fori_loop(
-        0, NW, window, (zeros, zeros, zeros, inf0))
-    einf = einf_i != 0
+    ex, ey, ez = jax.lax.fori_loop(1, S.ODD_WINDOWS, window, (px, py, pz))
+
+    # parity corrections: halves recoded as K+e need a final -sign*e*P_h
+    for h in range(2):
+        corr = digits_ref[h, S.ODD_WINDOWS] != 0
+        cy = taby[digits_ref[h, S.ODD_WINDOWS + 1], 0]
+        ax, ay, az = _madd_core(ex, ey, ez, tabx[h, 0], cy)
+        m = jnp.full((1, bx.shape[1]), corr)
+        ex = _sel(m, ax, ex)
+        ey = _sel(m, ay, ey)
+        ez = _sel(m, az, ez)
+
+    zeros = jnp.zeros_like(ex)
+    inf0 = jnp.ones((1, ex.shape[1]), jnp.int32)   # int32 mask: Mosaic
+    # cannot legalize scf.for loops with i1-vector carries
 
     # ---- serialize + tagged hash (src/cudasp_gpu.cu:236-314 equivalent)
-    zi = F.inv(_sel(einf, one, ez))
+    zi = F.inv(ez)
     zi2 = F.sqr(zi)
     x_aff = _canon2d(F.mul(ex, zi2))
     y_aff = _canon2d(F.mul(ey, F.mul(zi, zi2)))
@@ -303,7 +339,7 @@ def _scan_kernel(nlabels, nout, digits_ref,
 
     # ---- fixed-base comb: t x G via one-hot MXU selects (replaces
     # ECDSACONST.d_mul_table walks, src/cudasp_gpu.cu:317-354)
-    bt = bx.shape[1]
+    bt = ex.shape[1]
     iota = jax.lax.broadcasted_iota(jnp.int32, (256, bt), 0)
 
     def comb_window(i, carry):
@@ -350,7 +386,7 @@ def _scan_kernel(nlabels, nout, digits_ref,
         [(ovm >> np.uint32(j)) & np.uint32(1) for j in range(nout)],
         axis=0) != 0                   # (M, BT) bool
     rv = ((ovm >> np.uint32(31)) & np.uint32(1)) != 0
-    hit = jnp.zeros((1, bx.shape[1]), jnp.bool_)
+    hit = jnp.zeros((1, ex.shape[1]), jnp.bool_)
     for (cx, _, cz, cinf), czi in zip(cands, zinvs):
         x_can = _canon2d(F.mul(cx, F.sqr(czi)))
         words = _words_be_2d(x_can)
@@ -358,7 +394,7 @@ def _scan_kernel(nlabels, nout, digits_ref,
         eq = (words[0:1] == oh) & (words[1:2] == ol) & ov
         hit = hit | (jnp.any(eq, axis=0, keepdims=True) & ~dead)
 
-    out_ref[:] = (hit & rv & ~einf).astype(jnp.int32)
+    out_ref[:] = (hit & rv).astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("nlabels", "block_rows"))
@@ -368,7 +404,6 @@ def _scan_pallas_call(tweak_words, outputs_hi, outputs_lo, outputs_mask,
     B = tweak_words.shape[1]
     M = outputs_hi.shape[0]
     L = label_x.shape[0]
-    nblocks = B // block_rows
     N = F.NLIMBS
 
     def col_block(rows):
@@ -379,9 +414,16 @@ def _scan_pallas_call(tweak_words, outputs_hi, outputs_lo, outputs_mask,
         return pl.BlockSpec(shape, lambda i, *_: (0,) * len(shape),
                             memory_space=pltpu.VMEM)
 
+    # Shared query operands are tiled to the block width here (width-1
+    # VMEM blocks make Mosaic synthesize dual-axis broadcasts it cannot
+    # lower); XLA materializes these ~0.1 MB constants once per query.
+    sxw = jnp.broadcast_to(spend_x, (N, block_rows))
+    syw = jnp.broadcast_to(spend_y, (N, block_rows))
+    lxw = jnp.broadcast_to(label_x, (L, N, block_rows))
+    lyw = jnp.broadcast_to(label_y, (L, N, block_rows))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(nblocks,),
+        grid=(B // block_rows,),
         in_specs=[
             col_block(16),                       # raw LE point words
             col_block(M), col_block(M),          # outputs hi/lo
@@ -390,8 +432,7 @@ def _scan_pallas_call(tweak_words, outputs_hi, outputs_lo, outputs_mask,
             fixed((L, N, block_rows)), fixed((L, N, block_rows)),  # labels
             fixed((32, 2 * N, 256)),             # comb table
         ],
-        out_specs=pl.BlockSpec((1, block_rows), lambda i, *_: (0, i),
-                               memory_space=pltpu.VMEM),
+        out_specs=col_block(1),
         scratch_shapes=[
             pltpu.VMEM((2, 8, N, block_rows), jnp.int32),   # table x
             pltpu.VMEM((2, 8, N, block_rows), jnp.int32),   # table +-y
@@ -403,7 +444,7 @@ def _scan_pallas_call(tweak_words, outputs_hi, outputs_lo, outputs_mask,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((1, B), jnp.int32),
     )(digits, tweak_words, outputs_hi, outputs_lo, outputs_mask,
-      spend_x, spend_y, label_x, label_y, comb)
+      sxw, syw, lxw, lyw, comb)
     return flags
 
 
@@ -447,14 +488,13 @@ def pack_batch_arrays(tweak_blobs, row_valid, outputs_hi, outputs_lo,
 
 def pack_query_arrays(spend_x, spend_y, label_x, label_y,
                       block_rows: int = 256):
-    """Tile the shared per-query operands to full lane width (Mosaic
-    supports single-axis broadcasts only, so this happens on the host)."""
-    def tile(a):
-        a = np.asarray(a)
-        return np.ascontiguousarray(
-            np.broadcast_to(a, a.shape[:-1] + (block_rows,)))
+    """Shared per-query operands, device-ready. Width-1 lane broadcasting
+    is done in-kernel now (single-axis broadcasts are Mosaic-legal), so
+    this is a plain contiguous passthrough."""
+    def c(a):
+        return np.ascontiguousarray(np.asarray(a))
 
-    return tile(spend_x), tile(spend_y), tile(label_x), tile(label_y)
+    return c(spend_x), c(spend_y), c(label_x), c(label_y)
 
 
 def scan_batch_pallas(tweak_blobs, row_valid, outputs_hi, outputs_lo,
@@ -463,18 +503,17 @@ def scan_batch_pallas(tweak_blobs, row_valid, outputs_hi, outputs_lo,
                       block_rows: int = 256):
     """Pallas-fused scan over one packed batch. Same contract as
     pipeline.scan_batch_fused but takes raw (B, 64) tweak blobs and the
-    (2, 33) signed digit schedule (scalar.glv_signed_digits) instead of
-    limb planes + the unsigned window pytree.
+    (2, 34) odd-digit schedule (scalar.glv_odd_sched) instead of limb
+    planes + the unsigned window pytree.
 
     Accepts host arrays; pads B to a block_rows multiple."""
     B = int(tweak_blobs.shape[0])
     planes = pack_batch_arrays(tweak_blobs, row_valid, outputs_hi,
                                outputs_lo, outputs_valid, block_rows)
-    sx, sy, lx, ly = pack_query_arrays(spend_x, spend_y, label_x, label_y,
-                                       block_rows)
     flags = _scan_pallas_call(
         *(jnp.asarray(a) for a in planes), jnp.asarray(digits),
-        jnp.asarray(sx), jnp.asarray(sy), jnp.asarray(lx), jnp.asarray(ly),
+        jnp.asarray(spend_x), jnp.asarray(spend_y),
+        jnp.asarray(label_x), jnp.asarray(label_y),
         comb_table_f32(), nlabels=nlabels, block_rows=block_rows)
     return flags[0, :B] != 0
 

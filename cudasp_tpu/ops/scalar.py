@@ -157,6 +157,56 @@ def glv_signed_digits(k: int) -> np.ndarray:
     return np.array([rec(a1, bool(n1)), rec(a2, bool(n2))], dtype=np.int32)
 
 
+ODD_WINDOWS = 32      # 128 signed bits / 4 per window
+
+
+def glv_odd_sched(k: int) -> np.ndarray:
+    """Host-side schedule for the odd-digit Pallas ladder: (2, 34) int32.
+
+    Each GLV half-scalar K is recoded with ALL-NONZERO odd digits
+    d_i in {+-1, +-3, ..., +-15} (radix 16, MSB first): write K' = K + e
+    (e in {0,1} makes K' odd), then K' = sum_j s_j 2^j with signed bits
+    s_j = 2 b_j - 1 where b = bits of (K' + 2^128 - 1) / 2; grouping 4
+    signed bits gives the odd digits. The half's sign and the +-e*P
+    correction are folded in.
+
+    Row h layout: cols 0..31 = (idx | sign<<3) with idx = (|d|-1)/2 in
+    [0,7] (table of odd multiples (2m+1)*P), col 32 = correction flag
+    (1 -> subtract-ish one more P), col 33 = correction y-plane (0 = +y,
+    1 = -y). Nonzero digits mean the ladder needs NO zero-skip selects and
+    NO infinity tracking (SURVEY.md §7 "hard parts" #2; replaces the
+    gated-digit ladder that mirrored gECC's divergent window walk).
+    """
+    a1, n1, a2, n2 = glv_split(k)
+    out = np.zeros((2, ODD_WINDOWS + 2), dtype=np.int32)
+    for h, (a, neg) in enumerate(((a1, n1), (a2, n2))):
+        # a == 0 (every k < ~2^96 has a2 == 0) recodes as K' = 1 with the
+        # correction subtracting that P again — net zero contribution.
+        e = 0 if (a & 1) else 1
+        kp = a + e
+        assert kp < 2**128 + 1
+        half = (kp + (1 << 128) - 1) // 2
+        digs = []
+        for i in range(ODD_WINDOWS):
+            d = 0
+            for j in range(4):
+                bit = (half >> (4 * i + j)) & 1
+                d += (2 * bit - 1) << j
+            digs.append(d)
+        assert sum(dd << (4 * i) for i, dd in enumerate(digs)) == kp
+        for i, d in enumerate(digs[::-1]):          # MSB first
+            if neg:
+                d = -d
+            idx = (abs(d) - 1) // 2
+            sgn = 1 if d < 0 else 0
+            out[h, i] = idx | (sgn << 3)
+        out[h, ODD_WINDOWS] = e
+        # computed value so far = sign*(K+e); subtract sign*e*P:
+        # add P with y negated when the half is positive, +y when negative
+        out[h, ODD_WINDOWS + 1] = 0 if neg else 1
+    return out
+
+
 def glv_windows(k: int):
     """Host-side schedule for the GLV ladder: two (32,) digit arrays (4-bit
     windows, MSB first over 128 bits) plus sign flags."""

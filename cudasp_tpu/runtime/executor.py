@@ -124,7 +124,7 @@ class BatchExecutor:
         from ..ops import kernels as K
 
         br = self._block_rows
-        digits = jnp.asarray(np.asarray(scan_windows.digits, np.int32))
+        digits = jnp.asarray(np.asarray(scan_windows.odd, np.int32))
         sx, sy, lx, ly = (jnp.asarray(a) for a in K.pack_query_arrays(
             spend_x, spend_y, label_x, label_y, br))
         comb = K.comb_table_f32()

@@ -28,6 +28,31 @@ def test_glv_signed_digits_reconstruct():
         assert (halves[0] + halves[1] * S.GLV_LAMBDA - k) % O.N == 0
 
 
+def test_glv_odd_sched_reconstruct():
+    rng = np.random.default_rng(5)
+    for _ in range(20):
+        k = int(rng.integers(1, 2**63)) | (int(rng.integers(0, 2**63)) << 190)
+        sched = S.glv_odd_sched(k)
+        assert sched.shape == (2, S.ODD_WINDOWS + 2)
+        a1, n1, a2, n2 = S.glv_split(k)
+        halves = []
+        for h, (a, neg) in enumerate(((a1, n1), (a2, n2))):
+            v = 0
+            for code in sched[h, : S.ODD_WINDOWS]:
+                idx, sgn = int(code) & 7, int(code) >> 3
+                d = (2 * idx + 1) * (-1 if sgn else 1)
+                assert d % 2 != 0
+                v = v * 16 + d
+            # parity correction: col 32 flags an extra -sign*P
+            e = int(sched[h, S.ODD_WINDOWS])
+            corr_plane = int(sched[h, S.ODD_WINDOWS + 1])
+            if e:
+                v += -1 if corr_plane else 1
+            halves.append(v)
+            assert v == (-a if neg else a) * 1
+        assert (halves[0] + halves[1] * S.GLV_LAMBDA - k) % O.N == 0
+
+
 def test_glv_signed_digits_match_unsigned_windows():
     # both schedules must produce the same scalar mod n
     k = 0xDEADBEEF_CAFEBABE_12345678_9ABCDEF0_0F1E2D3C_4B5A6978_87695A4B_3C2D1E0F
@@ -96,7 +121,7 @@ def test_pallas_golden_parity_tpu():
         expect[j] = r.height in case.expected_heights
     _, sx, sy, lx, ly, nl = ingest.pack_query_keys(
         case.scan_key_blob, case.spend_blob, case.label_blobs or [])
-    digits = S.glv_signed_digits(blob32_to_scalar(case.scan_key_blob))
+    digits = S.glv_odd_sched(blob32_to_scalar(case.scan_key_blob))
     flags = np.asarray(scan_batch_pallas(
         tweaks, np.ones(B, bool), oh, ol, ov, digits, sx, sy, lx, ly,
         nlabels=nl))

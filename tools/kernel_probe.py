@@ -38,7 +38,7 @@ def main():
 
     windows, sx, sy, lx, ly, nlabels = ingest.pack_query_keys(
         V.SCAN_KEY_BIP352, V.SPEND_BIP352, [V.LABEL2] * args.labels)
-    digits = S.glv_signed_digits(scan_key)
+    digits = S.glv_odd_sched(scan_key)
 
     br = args.block_rows
     batches = list(ingest.iter_packed(tweaks, flat, offsets,
@@ -54,8 +54,8 @@ def main():
     comb = K.comb_table_f32()
 
     t0 = time.time()
-    flags = K._scan_pallas_call(*dev, dd, *dq, comb,
-                                nlabels=nlabels, block_rows=br)
+    flags = K._scan_pallas_call(*dev, dd, *dq, comb, nlabels=nlabels,
+                                block_rows=br)
     flags.block_until_ready()
     print(f"# compile+first: {time.time()-t0:.1f}s", file=sys.stderr)
 
@@ -68,9 +68,9 @@ def main():
     best = 1e9
     for _ in range(args.reps):
         t0 = time.perf_counter()
-        flags = K._scan_pallas_call(*dev, dd, *dq, comb,
-                                    nlabels=nlabels, block_rows=br)
-        flags.block_until_ready()
+        flags = K._scan_pallas_call(*dev, dd, *dq, comb, nlabels=nlabels,
+                                    block_rows=br)
+        np.asarray(flags)  # force real sync (block_until_ready lies on axon)
         best = min(best, time.perf_counter() - t0)
     n = dev[0].shape[1]
     print(f"block_rows={br} rows={n} kernel={best*1e3:.1f}ms "
