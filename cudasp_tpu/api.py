@@ -52,40 +52,61 @@ class ScanResult:
         return len(self.indices)
 
 
-def _normalize_blob_column(col, width: int, name: str) -> np.ndarray:
-    """Accepts (n, width) uint8 arrays, lists of bytes, or object arrays."""
+def _normalize_blob_column(col, width: int, name: str):
+    """Accepts (n, width) uint8 arrays, lists of bytes (None = NULL), or
+    pyarrow arrays with validity. Returns (blobs (n, width) u8, valid (n,)
+    bool) — NULL rows come back zero-filled and invalid, and are skipped by
+    the scan like the reference skips NULL tweak_keys
+    (src/cudasp_extension.cu:195-197)."""
     if isinstance(col, np.ndarray) and col.dtype == np.uint8 and col.ndim == 2:
         if col.shape[1] != width:
             raise IngestError(f"{name}: expected width {width}, got {col.shape[1]}")
-        return col
-    try:
-        rows = [bytes(b) for b in col]
-    except TypeError as e:
-        raise IngestError(f"{name}: unsupported column type {type(col)}") from e
+        return col, np.ones(col.shape[0], bool)
+    if hasattr(col, "is_valid") and hasattr(col, "to_pylist"):   # pyarrow
+        valid = np.asarray(col.is_valid())
+        rows = [b if v else b"\x00" * width
+                for b, v in zip(col.to_pylist(), valid)]
+    else:
+        try:
+            rows = [b"\x00" * width if b is None else bytes(b) for b in col]
+        except TypeError as e:
+            raise IngestError(
+                f"{name}: unsupported column type {type(col)}") from e
+        valid = np.array([b is not None for b in col], bool)
     bad = [i for i, b in enumerate(rows) if len(b) != width]
     if bad:
         raise IngestError(
             f"{name}: row {bad[0]} has {len(rows[bad[0]])} bytes, expected {width}"
         )
     if not rows:
-        return np.zeros((0, width), np.uint8)
-    return np.frombuffer(b"".join(rows), np.uint8).reshape(len(rows), width)
+        return np.zeros((0, width), np.uint8), np.zeros(0, bool)
+    blobs = np.frombuffer(b"".join(rows), np.uint8).reshape(len(rows), width)
+    return blobs, valid
 
 
 def _normalize_outputs(col) -> Tuple[np.ndarray, np.ndarray]:
     """outputs column -> CSR (flat int64, offsets). Accepts (flat, offsets)
-    tuples, pyarrow ListArrays/ChunkedArrays, or sequences of sequences."""
+    tuples, pyarrow ListArrays/ChunkedArrays, or sequences of sequences.
+    A NULL list (None entry) becomes an empty list — such rows can never
+    match, matching the reference's NULL-element drop semantics
+    (src/cudasp_extension.cu:215)."""
     if isinstance(col, tuple) and len(col) == 2:
         flat = np.asarray(col[0], dtype=np.int64)
         offsets = np.asarray(col[1], dtype=np.int64)
         return flat, offsets
-    # pyarrow (optional dependency) — duck-typed
+    # pyarrow (optional dependency) — duck-typed; the zero-copy offsets
+    # path is only valid when no list or element is NULL
     values = getattr(col, "values", None)
     offsets = getattr(col, "offsets", None)
-    if values is not None and offsets is not None:
+    if values is not None and offsets is not None and col.null_count == 0 \
+            and getattr(values, "null_count", 0) == 0:
         return (np.asarray(values, dtype=np.int64),
                 np.asarray(offsets, dtype=np.int64))
-    return ingest.outputs_to_csr(list(col))
+    if hasattr(col, "to_pylist"):
+        col = col.to_pylist()
+    return ingest.outputs_to_csr(
+        [[] if o is None else [v for v in o if v is not None]
+         for o in col])
 
 
 def _table_columns(table) -> Dict[str, object]:
@@ -146,12 +167,33 @@ def scan(
     for required in ("tweak_key", "outputs"):
         if required not in cols:
             raise IngestError(f"missing required column '{required}'")
-    tweaks = _normalize_blob_column(cols["tweak_key"], 64, "tweak_key")
+    tweaks, row_ok = _normalize_blob_column(cols["tweak_key"], 64, "tweak_key")
     flat, offsets = _normalize_outputs(cols["outputs"])
     n = tweaks.shape[0]
     if len(offsets) != n + 1:
         raise IngestError(
             f"outputs offsets length {len(offsets)} != rows+1 ({n + 1})")
+    # NULL txid/height also skip the row (src/cudasp_extension.cu:195-197)
+    for name in ("txid", "height"):
+        c = cols.get(name)
+        if c is not None and hasattr(c, "is_valid"):
+            row_ok &= np.asarray(c.is_valid())
+        elif isinstance(c, (list, tuple)):
+            row_ok &= np.array([v is not None for v in c], bool)
+
+    row_indices = None
+    if not row_ok.all():
+        keep = np.flatnonzero(row_ok)
+        ln = (offsets[1:] - offsets[:-1])[keep]
+        new_off = np.zeros(len(keep) + 1, np.int64)
+        np.cumsum(ln, out=new_off[1:])
+        flat = flat[np.repeat(offsets[keep] - new_off[:-1], ln)
+                    + np.arange(new_off[-1], dtype=np.int64)]
+        offsets = new_off
+        tweaks_scan = tweaks[keep]
+        row_indices = keep
+    else:
+        tweaks_scan = tweaks
 
     keys = ingest.pack_query_keys(scan_private_key, spend_public_key, label_keys)
     windows, spend_x, spend_y, lx, ly, nlabels = keys
@@ -167,15 +209,18 @@ def scan(
     executor = BatchExecutor(mesh=cfg.mesh, fused=cfg.fused,
                              backend=cfg.backend)
     tile = cfg.tile or (262144 if executor.backend == "pallas" else 8192)
+    n_scan = tweaks_scan.shape[0]
     eff_batch = min(_pow2_at_least(cfg.batch_size),
-                    _pow2_at_least(max(n, 1)), tile)
+                    _pow2_at_least(max(n_scan, 1)), tile)
     # adaptive outputs width: never ship wider planes than the data needs
     lens = offsets[1:] - offsets[:-1]
-    max_out = int(min(cfg.max_outputs, max(int(lens.max()) if n else 1, 1)))
+    max_out = int(min(cfg.max_outputs,
+                      max(int(lens.max()) if n_scan else 1, 1)))
     pack_time = [0.0]
-    batches = ingest.iter_packed(tweaks, flat, offsets,
+    batches = ingest.iter_packed(tweaks_scan, flat, offsets,
                                  batch_size=eff_batch,
                                  max_outputs=max_out,
+                                 row_indices=row_indices,
                                  pack_seconds=pack_time,
                                  layout="kernel"
                                  if executor.backend == "pallas" else "xla")

@@ -1,0 +1,126 @@
+"""API-surface tests: NULL-row skipping, pyarrow tables, and the CLI —
+the L4/L5 ingest semantics the reference implements in its bind/accumulate
+callbacks (/root/reference/src/cudasp_extension.cu:154-224: NULL
+txid/height/tweak_key skip the row, NULL list elements are dropped)."""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from cudasp_tpu import scan
+from cudasp_tpu.oracle import vectors as V
+
+pa = pytest.importorskip("pyarrow")
+
+
+def _case_table_lists(case, nullify_row=None, null_height_row=None):
+    rows = case.rows
+    txid = [r.txid for r in rows]
+    height = [r.height for r in rows]
+    tweak = [r.tweak_blob for r in rows]
+    outputs = [list(r.outputs) for r in rows]
+    if nullify_row is not None:
+        tweak[nullify_row] = None
+    if null_height_row is not None:
+        height[null_height_row] = None
+    return {"txid": txid, "height": height, "tweak_key": tweak,
+            "outputs": outputs}
+
+
+def test_null_tweak_skips_row():
+    case = V.CASES[0]
+    # find a matching row and null out its tweak -> it must disappear
+    match_idx = next(i for i, r in enumerate(case.rows)
+                     if r.height in case.expected_heights)
+    table = _case_table_lists(case, nullify_row=match_idx)
+    res = scan(table, case.scan_key_blob, case.spend_blob, case.label_blobs)
+    got = tuple(int(h) for h in res.height) if len(res) else ()
+    assert case.rows[match_idx].height not in got
+
+
+def test_null_height_skips_row():
+    case = V.CASES[0]
+    match_idx = next(i for i, r in enumerate(case.rows)
+                     if r.height in case.expected_heights)
+    table = _case_table_lists(case, null_height_row=match_idx)
+    res = scan(table, case.scan_key_blob, case.spend_blob, case.label_blobs)
+    assert len(res) == len(case.expected_heights) - 1
+
+
+def test_null_output_elements_dropped():
+    case = V.CASES[0]
+    table = _case_table_lists(case)
+    table["outputs"] = [[None] + o + [None] for o in table["outputs"]]
+    res = scan(table, case.scan_key_blob, case.spend_blob, case.label_blobs)
+    got = tuple(int(h) for h in res.height) if len(res) else ()
+    assert got == case.expected_heights
+
+
+def test_pyarrow_table_roundtrip():
+    case = V.CASES[0]
+    rows = case.rows
+    table = pa.table({
+        "txid": pa.array([r.txid for r in rows], pa.binary()),
+        "height": pa.array([r.height for r in rows], pa.int32()),
+        "tweak_key": pa.array([r.tweak_blob for r in rows], pa.binary()),
+        "outputs": pa.array([list(r.outputs) for r in rows],
+                            pa.list_(pa.int64())),
+    })
+    res = scan(table, case.scan_key_blob, case.spend_blob, case.label_blobs)
+    got = tuple(int(h) for h in res.height)
+    assert got == case.expected_heights
+
+
+def test_pyarrow_nulls():
+    case = V.CASES[0]
+    rows = case.rows
+    match_idx = next(i for i, r in enumerate(rows)
+                     if r.height in case.expected_heights)
+    tweaks = [r.tweak_blob for r in rows]
+    tweaks[match_idx] = None
+    table = pa.table({
+        "height": pa.array([r.height for r in rows], pa.int32()),
+        "tweak_key": pa.array(tweaks, pa.binary()),
+        "outputs": pa.array([list(r.outputs) for r in rows],
+                            pa.list_(pa.int64())),
+    })
+    res = scan(table, case.scan_key_blob, case.spend_blob, case.label_blobs)
+    assert len(res) == len(case.expected_heights) - 1
+
+
+def test_cli_scan_parquet(tmp_path):
+    import pyarrow.parquet as pq
+
+    case = V.CASES[0]
+    rows = case.rows
+    table = pa.table({
+        "txid": pa.array([r.txid for r in rows], pa.binary()),
+        "height": pa.array([r.height for r in rows], pa.int32()),
+        "tweak_key": pa.array([r.tweak_blob for r in rows], pa.binary()),
+        "outputs": pa.array([list(r.outputs) for r in rows],
+                            pa.list_(pa.int64())),
+    })
+    inp = tmp_path / "in.parquet"
+    pq.write_table(table, inp)
+
+    proc = subprocess.run(
+        [sys.executable, "-m", "cudasp_tpu", "scan",
+         "--input", str(inp),
+         "--scan-key", case.scan_key_blob.hex(),
+         "--spend-key", case.spend_blob.hex(),
+         "--backend", "xla", "--metrics"]
+        + sum((["--label", lb.hex()] for lb in case.label_blobs), []),
+        capture_output=True, text=True, timeout=600,
+        env={"JAX_PLATFORMS": "cpu",
+             "XLA_FLAGS": "--xla_cpu_use_fusion_emitters=false",
+             "PATH": "/usr/bin:/bin:/usr/local/bin",
+             "HOME": "/root",
+             "PYTHONPATH": "/root/repo"},
+    )
+    assert proc.returncode == 0, proc.stderr
+    got = sorted(json.loads(line)["height"]
+                 for line in proc.stdout.splitlines() if line)
+    assert got == sorted(case.expected_heights)
