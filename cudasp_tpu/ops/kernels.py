@@ -397,10 +397,12 @@ def _scan_kernel(nlabels, nout, digits_ref,
     out_ref[:] = (hit & rv).astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("nlabels", "block_rows"))
+@functools.partial(jax.jit,
+                   static_argnames=("nlabels", "block_rows", "interpret"))
 def _scan_pallas_call(tweak_words, outputs_hi, outputs_lo, outputs_mask,
                       digits, spend_x, spend_y,
-                      label_x, label_y, comb, *, nlabels, block_rows):
+                      label_x, label_y, comb, *, nlabels, block_rows,
+                      interpret=False):
     B = tweak_words.shape[1]
     M = outputs_hi.shape[0]
     L = label_x.shape[0]
@@ -443,9 +445,53 @@ def _scan_pallas_call(tweak_words, outputs_hi, outputs_lo, outputs_mask,
         functools.partial(_scan_kernel, nlabels, M),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((1, B), jnp.int32),
+        interpret=interpret,
     )(digits, tweak_words, outputs_hi, outputs_lo, outputs_mask,
       sxw, syw, lxw, lyw, comb)
     return flags
+
+
+@functools.lru_cache(maxsize=32)
+def _sharded_scan_fn(mesh, nlabels, block_rows, interpret):
+    """shard_map-wrapped scan over the mesh's 'data' axis: each chip runs
+    the Pallas grid over its local row shard; no collectives are needed
+    inside the kernel (rows are independent — SURVEY.md §2.4). This is the
+    multi-chip production path, replacing the reference's thread->GPU
+    round-robin (src/cudasp_extension.cu:149-151,523-529) with one GSPMD
+    program."""
+    from jax.sharding import PartitionSpec as P
+
+    lane = P(None, "data")
+    rep2 = P(None, None)
+    rep3 = P(None, None, None)
+    fn = jax.shard_map(
+        functools.partial(_scan_pallas_call, nlabels=nlabels,
+                          block_rows=block_rows, interpret=interpret),
+        mesh=mesh,
+        in_specs=(lane, lane, lane, lane, rep2, rep2, rep2,
+                  rep3, rep3, rep3),
+        out_specs=lane,
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def scan_pallas_sharded(mesh, tweak_words, outputs_hi, outputs_lo,
+                        outputs_mask, digits, spend_x, spend_y,
+                        label_x, label_y, comb, *, nlabels,
+                        block_rows=256, interpret=False):
+    """Multi-chip fused scan: batch lanes sharded over mesh axis 'data'.
+    B must be a multiple of n_devices * block_rows."""
+    B = tweak_words.shape[1]
+    ndev = mesh.devices.size
+    if B % (ndev * block_rows):
+        raise ValueError(
+            f"batch width {B} not a multiple of {ndev} devices x "
+            f"{block_rows} block rows")
+    fn = _sharded_scan_fn(mesh, int(nlabels), int(block_rows),
+                          bool(interpret))
+    return fn(tweak_words, outputs_hi, outputs_lo, outputs_mask, digits,
+              spend_x, spend_y, label_x, label_y, comb)
 
 
 def pack_batch_arrays(tweak_blobs, row_valid, outputs_hi, outputs_lo,

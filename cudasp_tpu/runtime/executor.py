@@ -29,8 +29,9 @@ from .metrics import ScanMetrics, Timer
 
 
 def _default_backend(mesh) -> str:
-    if mesh is not None:
-        return "xla"
+    # CPU has no Pallas TPU backend (tests use interpret mode explicitly);
+    # on TPU the fused kernel is the production path, single- or multi-chip
+    # (mesh -> shard_map over the 'data' axis).
     return "xla" if jax.default_backend() == "cpu" else "pallas"
 
 
@@ -129,6 +130,21 @@ class BatchExecutor:
             spend_x, spend_y, label_x, label_y, br))
         comb = K.comb_table_f32()
 
+        mesh = self._shardings.mesh if self._shardings is not None else None
+        ndev = mesh.devices.size if mesh is not None else 1
+        pad_to = br * ndev            # sharded batches split lanes evenly
+        lane_sh = self._shardings.limbs if mesh is not None else None
+        interpret = jax.default_backend() == "cpu"
+
+        def dispatch(dev):
+            if mesh is None:
+                return K._scan_pallas_call(
+                    *dev, digits, sx, sy, lx, ly, comb,
+                    nlabels=nlabels, block_rows=br)
+            return K.scan_pallas_sharded(
+                mesh, *dev, digits, sx, sy, lx, ly, comb,
+                nlabels=nlabels, block_rows=br, interpret=interpret)
+
         # Host packing + H2D upload run on a feeder thread so the transfer
         # of batch i+1 rides alongside the kernel of batch i (the role of
         # the reference's per-batch CUDA streams + cudaMemcpyAsync,
@@ -145,8 +161,8 @@ class BatchExecutor:
                             "pallas backend needs layout='kernel' batches")
                     planes = K.pack_batch_arrays(
                         blobs, b.row_valid, b.outputs_hi,
-                        b.outputs_lo, b.outputs_valid, br)
-                    dev = tuple(jax.device_put(a) for a in planes)
+                        b.outputs_lo, b.outputs_valid, pad_to)
+                    dev = tuple(jax.device_put(a, lane_sh) for a in planes)
                     q.put((i, blobs.shape[0], dev, b.source_rows))
             except Exception as e:                      # noqa: BLE001
                 q.put(e)
@@ -169,9 +185,7 @@ class BatchExecutor:
                 i, n, dev, srcs = item
                 nb += 1
                 try:
-                    flags = K._scan_pallas_call(
-                        *dev, digits, sx, sy, lx, ly, comb,
-                        nlabels=nlabels, block_rows=br)
+                    flags = dispatch(dev)
                 except Exception as e:                  # noqa: BLE001
                     raise ExecutionError(i, e) from e
                 in_flight.append((n, flags, srcs))
