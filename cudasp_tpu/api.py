@@ -8,6 +8,7 @@ Same wire formats, same semantics, defined (non-UB) degenerate cases.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence, Tuple, Union
 
@@ -135,6 +136,9 @@ def scan(
 ) -> ScanResult:
     """Scan `table` for BIP-352 silent-payment matches.
 
+    Set CUDASP_PROFILE_DIR to capture an XLA profiler trace of the scan and
+    CUDASP_METRICS=1 to emit a structured metrics line on stderr.
+
     table: mapping (or pyarrow.Table) with columns
         txid      — arbitrary per-row ids (passed through)
         height    — int (passed through)
@@ -146,6 +150,18 @@ def scan(
 
     Argument validation mirrors the reference binder
     (src/cudasp_extension.cu:420-509)."""
+    from .runtime.trace import emit_metrics, trace_scan
+
+    with trace_scan():
+        res = _scan_impl(table, scan_private_key, spend_public_key,
+                         label_keys, batch_size=batch_size, config=config)
+    if os.environ.get("CUDASP_METRICS"):
+        emit_metrics(res.metrics)
+    return res
+
+
+def _scan_impl(table, scan_private_key, spend_public_key, label_keys=(),
+               *, batch_size=None, config=None) -> ScanResult:
     cfg = config or ScanConfig()
     if batch_size is not None:
         cfg.batch_size = batch_size

@@ -1,0 +1,114 @@
+"""Runtime-subsystem tests: resumable scans (checkpoint cursor),
+concurrent queries (the reference's multi-user claim,
+/root/reference/README.md:11-12, exercised without its mutex/CAS dance),
+and metrics/tracing hooks."""
+
+import json
+import threading
+
+import numpy as np
+import pytest
+
+from cudasp_tpu import scan
+from cudasp_tpu.oracle import vectors as V
+from cudasp_tpu.runtime.checkpoint import ScanCursor, scan_resumable
+
+
+def _big_table(case, n):
+    rows = case.rows
+    return {
+        "height": np.asarray(
+            [rows[j % len(rows)].height for j in range(n)], np.int32),
+        "tweak_key": np.stack(
+            [np.frombuffer(rows[j % len(rows)].tweak_blob, np.uint8)
+             for j in range(n)]),
+        "outputs": [list(rows[j % len(rows)].outputs) for j in range(n)],
+    }, sorted(j for j in range(n)
+              if rows[j % len(rows)].height in case.expected_heights)
+
+
+def test_scan_resumable_checkpoints(tmp_path):
+    case = V.CASES[0]
+    table, expect = _big_table(case, 300)
+    ckpt = str(tmp_path / "cursor.json")
+    idx, cursor = scan_resumable(
+        table, case.scan_key_blob, case.spend_blob, (),
+        checkpoint_path=ckpt, chunk_rows=100)
+    assert idx.tolist() == expect
+    assert cursor.rows_done == 300
+    # the file reflects the final state
+    saved = ScanCursor.load(ckpt)
+    assert saved.rows_done == 300
+    assert sorted(saved.matches) == expect
+
+
+def test_scan_resumable_resumes_midway(tmp_path):
+    case = V.CASES[0]
+    table, expect = _big_table(case, 300)
+    ckpt = str(tmp_path / "cursor.json")
+    # simulate a crash after 2 of 3 chunks: run with a cursor capped at 200
+    idx1, c1 = scan_resumable(
+        {k: (v[:200] if not isinstance(v, tuple) else v)
+         for k, v in table.items()},
+        case.scan_key_blob, case.spend_blob, (),
+        checkpoint_path=ckpt, chunk_rows=100)
+    assert c1.rows_done == 200
+    # restart over the full table: must not rescan the first 200 rows
+    idx2, c2 = scan_resumable(
+        table, case.scan_key_blob, case.spend_blob, (),
+        checkpoint_path=ckpt, chunk_rows=100)
+    assert c2.rows_done == 300
+    assert idx2.tolist() == expect
+
+
+def test_scan_resumable_rejects_key_mismatch(tmp_path):
+    case = V.CASES[0]
+    table, _ = _big_table(case, 100)
+    ckpt = str(tmp_path / "cursor.json")
+    scan_resumable(table, case.scan_key_blob, case.spend_blob, (),
+                   checkpoint_path=ckpt, chunk_rows=100)
+    other = V.CASES[1]
+    with pytest.raises(ValueError, match="different query"):
+        scan_resumable(table, other.scan_key_blob, other.spend_blob, (),
+                       checkpoint_path=ckpt, chunk_rows=100)
+
+
+def test_concurrent_queries():
+    """4 threads x different queries on shared jitted functions — the
+    multi-user scenario the reference serializes with mutexes
+    (src/cudasp_extension.cu:147-151); JAX execution is thread-safe and
+    results must be independent and correct."""
+    cases = [V.CASES[0], V.CASES[1], V.CASES[3], V.CASES[4]]
+    tables = {c.name: _big_table(c, 120) for c in cases}
+    errors = []
+
+    def worker(case):
+        try:
+            table, expect = tables[case.name]
+            for _ in range(2):
+                res = scan(table, case.scan_key_blob, case.spend_blob,
+                           case.label_blobs)
+                got = sorted(int(i) for i in res.indices)
+                assert got == expect, (case.name, len(got), len(expect))
+        except Exception as e:                          # noqa: BLE001
+            errors.append((case.name, e))
+
+    threads = [threading.Thread(target=worker, args=(c,)) for c in cases]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert not errors, errors
+
+
+def test_metrics_emission(monkeypatch, capsys):
+    monkeypatch.setenv("CUDASP_METRICS", "1")
+    case = V.CASES[0]
+    table, expect = _big_table(case, 64)
+    res = scan(table, case.scan_key_blob, case.spend_blob, ())
+    err = capsys.readouterr().err
+    line = next(l for l in err.splitlines() if '"scan_metrics"' in l)
+    m = json.loads(line)
+    assert m["rows_in"] == 64
+    assert m["matches"] == len(expect) == len(res)
+    assert m["rows_per_second"] > 0
