@@ -224,6 +224,9 @@ def _scan_impl(table, scan_private_key, spend_public_key, label_keys=(),
 
     executor = BatchExecutor(mesh=cfg.mesh, fused=cfg.fused,
                              backend=cfg.backend)
+    # Pallas tile: 262144 rows/dispatch measured best — wider tiles (1M)
+    # degrade sharply on v5e (HBM pressure / grid scheduling), narrower
+    # ones pay per-dispatch overhead.
     tile = cfg.tile or (262144 if executor.backend == "pallas" else 8192)
     n_scan = tweaks_scan.shape[0]
     eff_batch = min(_pow2_at_least(cfg.batch_size),

@@ -138,20 +138,35 @@ def iter_packed(
         row_indices = np.arange(n, dtype=np.int64)
 
     lens = offsets[1:] - offsets[:-1]
-    nch = (lens + max_outputs - 1) // max_outputs      # chunks per row
-    total = int(nch.sum())
+    # Fast path: every row has exactly max_outputs values (dense tables) —
+    # rows and values are then consumed in order, so the per-batch gathers
+    # (tweak_blobs[src], outputs_flat[gidx]) collapse into slices/reshapes
+    # (zero-copy views); measured ~4x on the 1M-row bench pack.
+    uniform = bool((lens == max_outputs).all())
+    if uniform:
+        total = n
+        src = take = None
+    else:
+        nch = (lens + max_outputs - 1) // max_outputs   # chunks per row
+        total = int(nch.sum())
+        if total == 0:
+            return
+        src = np.repeat(np.arange(n, dtype=np.int64), nch)      # (total,)
+        cum = np.zeros(n + 1, np.int64)
+        np.cumsum(nch, out=cum[1:])
+        chunk_in_row = (np.arange(total, dtype=np.int64)
+                        - np.repeat(cum[:-1], nch))
+        starts = offsets[src] + chunk_in_row * max_outputs
+        take = np.minimum(lens[src] - chunk_in_row * max_outputs,
+                          max_outputs)
     if total == 0:
         return
-    src = np.repeat(np.arange(n, dtype=np.int64), nch)          # (total,)
-    cum = np.zeros(n + 1, np.int64)
-    np.cumsum(nch, out=cum[1:])
-    chunk_in_row = np.arange(total, dtype=np.int64) - np.repeat(cum[:-1], nch)
-    starts = offsets[src] + chunk_in_row * max_outputs
-    take = np.minimum(lens[src] - chunk_in_row * max_outputs, max_outputs)
     if pack_seconds is not None:
         pack_seconds[0] += _time.perf_counter() - t0
 
     midx = np.arange(max_outputs, dtype=np.int64)[None]
+    flat2d = (np.asarray(outputs_flat, np.int64).reshape(n, max_outputs)
+              if uniform else None)
     for start in range(0, total, batch_size):
         t0 = _time.perf_counter()
         stop = min(start + batch_size, total)
@@ -166,11 +181,16 @@ def iter_packed(
             return np.concatenate(
                 [a, np.full(shape, fill, dtype=a.dtype)], axis=0)
 
-        gidx = starts[sl, None] + midx
-        vmask = midx < take[sl, None]
-        vals = outputs_flat[np.where(vmask, gidx, 0)]           # (k, M)
+        if uniform:
+            vals = flat2d[sl]
+            vmask = np.ones((k, max_outputs), bool)
+            blobs = padrows(tweak_blobs[sl])
+        else:
+            gidx = starts[sl, None] + midx
+            vmask = midx < take[sl, None]
+            vals = outputs_flat[np.where(vmask, gidx, 0)]       # (k, M)
+            blobs = padrows(tweak_blobs[src[sl]])
         b_hi, b_lo = split_outputs_i64(vals)
-        blobs = padrows(tweak_blobs[src[sl]])
         if layout == "kernel":
             tx = ty = None
         else:
@@ -185,7 +205,8 @@ def iter_packed(
             outputs_hi=padrows(b_hi),
             outputs_lo=padrows(b_lo),
             outputs_valid=padrows(vmask),
-            source_rows=padrows(row_indices[src[sl]], fill=-1),
+            source_rows=padrows(row_indices[sl] if uniform
+                                else row_indices[src[sl]], fill=-1),
         )
         if pack_seconds is not None:
             pack_seconds[0] += _time.perf_counter() - t0
