@@ -293,43 +293,43 @@ def sub_scaled8(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return _lazy(a + (_literal_col(D16_9_LIMBS) - b * 8))
 
 
-def mul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Full field multiply. Inputs normal form (limbs <= ~10000).
+_GROUP = 4                       # limbs per accumulation group in mul/sqr
+_NGROUPS = NLIMBS // _GROUP      # 5
+_CANVAS = NLIMBS + _GROUP - 1    # 23: rows of one group canvas
+_NCOLS = 2 * NLIMBS - 1          # 39 product columns
 
-    Scatter-free schoolbook: column sums are built in a low half (cols
-    0..N-1) and a high half (cols N..2N-2) so every accumulation add stays
-    N rows wide; safe inside Pallas kernels (Mosaic has no scatter)."""
+
+def _product_cols(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Raw schoolbook product columns (2N-1, B), scatter-free and
+    shift-lean: limb i = 4q + r contributes a_i * shift(b, r) into group
+    canvas C_q (rows 4q..4q+22), so only 4 pre-shifts of b plus 5 shifted
+    canvas merges are sublane-shift passes (the naive per-limb placement
+    pays 2 shifts per limb, ~40 passes). Bounds: canvas columns sum <= 4
+    products < 2^28.1, final columns <= 20 products < 2^31 (int32-exact
+    for mulsafe inputs, limbs <= ~8300)."""
     bshape = np.broadcast_shapes(a.shape[1:], b.shape[1:])
-    lo = jnp.zeros((NLIMBS,) + bshape, dtype=jnp.int32)
-    hi = jnp.zeros((NLIMBS - 1,) + bshape, dtype=jnp.int32)
-    for i in range(NLIMBS):
-        t = a[i][None] * b                     # (NLIMBS, B), cols i..i+N-1
-        if i == 0:
-            lo = lo + t
-        else:
-            lo = lo + _rows_at(t[: NLIMBS - i], i, NLIMBS)
-            hi = hi + _rows_at(t[NLIMBS - i:], 0, NLIMBS - 1)
-    return _reduce_cols(jnp.concatenate([lo, hi], axis=0))
+    b = jnp.broadcast_to(b, (NLIMBS,) + bshape)
+    shifted = [_rows_at(b, r, _CANVAS) for r in range(_GROUP)]   # (23, B)
+    out = jnp.zeros((_NCOLS,) + bshape, dtype=jnp.int32)
+    for q in range(_NGROUPS):
+        c = shifted[0] * a[_GROUP * q][None]
+        for r in range(1, _GROUP):
+            c = c + shifted[r] * a[_GROUP * q + r][None]
+        out = out + _rows_at(c, _GROUP * q, _NCOLS)
+    return out
+
+
+def mul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Full field multiply. Inputs normal form (limbs <= ~10000)."""
+    return _reduce_cols(_product_cols(a, b))
 
 
 def sqr(a: jnp.ndarray) -> jnp.ndarray:
-    """Squaring: exploits symmetry (about half the limb products of mul)."""
-    lo = jnp.zeros((NLIMBS,) + a.shape[1:], dtype=jnp.int32)
-    hi = jnp.zeros((NLIMBS - 1,) + a.shape[1:], dtype=jnp.int32)
-    for i in range(NLIMBS):
-        seg = a[i][None] * a[i:]              # products a_i*a_j, j >= i
-        if seg.shape[0] > 1:
-            seg = jnp.concatenate([seg[:1], seg[1:] * 2], axis=0)
-        # seg row r lands in column 2i + r
-        if 2 * i < NLIMBS:
-            cut = NLIMBS - 2 * i
-            lo = lo + _rows_at(seg[:cut], 2 * i, NLIMBS)
-            if seg.shape[0] > cut:
-                hi = hi + _rows_at(seg[cut:], i * 2 + cut - NLIMBS,
-                                   NLIMBS - 1)
-        else:
-            hi = hi + _rows_at(seg, 2 * i - NLIMBS, NLIMBS - 1)
-    return _reduce_cols(jnp.concatenate([lo, hi], axis=0))
+    """Squaring. The symmetric half-product schoolbook (one shifted
+    placement per limb) measures ~40% SLOWER than the grouped full product
+    on TPU: its per-limb sublane shifts dominate, while _product_cols pays
+    only 9 shift passes total. Shared-operand shifts also dedupe."""
+    return _reduce_cols(_product_cols(a, a))
 
 
 def zero_like(a: jnp.ndarray) -> jnp.ndarray:
@@ -432,6 +432,33 @@ def inv(a: jnp.ndarray) -> jnp.ndarray:
     t = mul(_sqr_n(t, 3), x2)
     t = mul(_sqr_n(t, 2), x)
     return t
+
+
+def sqrt_candidate(a: jnp.ndarray) -> jnp.ndarray:
+    """a^((p+1)/4): THE square root of a when a is a quadratic residue
+    (p === 3 mod 4), garbage otherwise (callers relying on valid curve
+    points inherit the reference's garbage-in/garbage-out contract for
+    off-curve inputs). Addition chain shares the x223 backbone with inv():
+    (p+1)/4 = 0x3FFF...FFFFBFFFFF0C (222 ones, 0, 22 ones, 0000, 11, 00).
+    Used to decompress x-only tweak uploads on device (halves the scan's
+    host->device bytes; the reference ships full 64-B points,
+    src/cudasp_extension.cu:159-163)."""
+    x = a
+    x2 = mul(sqr(x), x)
+    x3 = mul(sqr(x2), x)
+    x6 = mul(_sqr_n(x3, 3), x3)
+    x9 = mul(_sqr_n(x6, 3), x3)
+    x11 = mul(_sqr_n(x9, 2), x2)
+    x22 = mul(_sqr_n(x11, 11), x11)
+    x44 = mul(_sqr_n(x22, 22), x22)
+    x88 = mul(_sqr_n(x44, 44), x44)
+    x176 = mul(_sqr_n(x88, 88), x88)
+    x220 = mul(_sqr_n(x176, 44), x44)
+    x223 = mul(_sqr_n(x220, 3), x3)
+    t = mul(_sqr_n(x223, 23), x22)
+    t = _sqr_n(t, 6)
+    t = mul(t, x2)
+    return _sqr_n(t, 2)
 
 
 def inv_chain(zs):

@@ -210,15 +210,55 @@ def _madd_complete_lite(px, py, pz, pinf, qx, qy, qinf):
     return ax, ay, az, pinf & qinf
 
 
+def _inv_lanes(e):
+    """Inverse of every lane of one (NLIMBS, BT) element via a cross-lane
+    Montgomery trick: prefix/suffix lane product scans (log2(BT) muls each)
+    collapse the whole tile into ONE product, a single Fermat ladder runs at
+    width 1 (3 vregs/op instead of BT/128 * 3), and per-lane inverses are
+    recovered as prefix[j-1] * suffix[j+1] * total^-1. Inputs must be
+    nonzero (callers pre-select). ~20 full-width muls + a narrow ladder,
+    vs a full-width 254-mul ladder for plain F.inv — the TPU answer to the
+    reference's per-thread inversions (src/cudasp_gpu.cu:62,147,343)."""
+    bt = e.shape[1]
+    one = F.one_like(e)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, bt), 1)
+
+    def scan_products(x, backward):
+        # pltpu.roll only takes non-negative shifts; a left-roll by s is a
+        # circular right-roll by bt - s.
+        s = 1
+        while s < bt:
+            r = pltpu.roll(x, (bt - s) if backward else s, axis=1)
+            keep = (lane < bt - s) if backward else (lane >= s)
+            x = F.mul(x, _sel(keep, r, one))
+            s *= 2
+        return x
+
+    pf = scan_products(e, False)          # lane j: e_0 * ... * e_j
+    sf = scan_products(e, True)           # lane j: e_j * ... * e_{BT-1}
+    # Narrow ladder: invert the last 128 prefix lanes (one vreg column —
+    # Mosaic rejects sub-128 widths with a concat-layout bug, so this is
+    # the narrowest legal ladder; only lane BT-1, the total product T,
+    # is consumed).
+    w = min(128, bt)
+    tinv = F.inv(pf[:, bt - w :])[:, w - 1 : w]
+    # T/e_j = prefix[j-1] * suffix[j+1] (boundary lanes -> 1)
+    pf1 = _sel(lane >= 1, pltpu.roll(pf, 1, axis=1), one)
+    sf1 = _sel(lane < bt - 1, pltpu.roll(sf, bt - 1, axis=1), one)
+    return F.mul(F.mul(pf1, sf1), jnp.broadcast_to(tinv, e.shape))
+
+
 def _inv_chain_raw(zs):
-    """Montgomery-trick shared inversion; zero inputs -> zero inverses."""
+    """Montgomery-trick shared inversion of several (NLIMBS, BT) elements;
+    zero inputs -> zero inverses. One narrow ladder total: the element
+    chain collapses into a single plane which _inv_lanes inverts."""
     nz = [_is_zero2d(z) for z in zs]
     one = F.one_like(zs[0])
     safe = [_sel(m, one, z) for m, z in zip(nz, zs)]
     prefix = [safe[0]]
     for z in safe[1:]:
         prefix.append(F.mul(prefix[-1], z))
-    run = F.inv(prefix[-1])
+    run = _inv_lanes(prefix[-1])
     out = [None] * len(zs)
     for i in range(len(zs) - 1, 0, -1):
         out[i] = F.mul(run, prefix[i - 1])
@@ -255,10 +295,21 @@ def _scan_kernel(nlabels, nout, digits_ref,
     """One row tile, tweak words -> match flags, fully VMEM-resident.
     (A split ladder/finish two-kernel variant was measured ~7% slower at
     786K rows — the HBM round-trip of the Jacobian plane plus the second
-    dispatch cost more than wide-block inversion amortization bought.)"""
-    tw = tw_ref[:]                     # (16, BT) uint32: LE x words || y
-    bx = _limbs_from_words(tw[:8])
-    by = _limbs_from_words(tw[8:])
+    dispatch cost more than wide-block inversion amortization bought.)
+
+    Tweak points arrive COMPRESSED: x words only + a y-parity bit (ovm bit
+    30); y is recovered on device as sqrt(x^3 + 7) (~5% of tile compute).
+    The host->device link is this scan's bottleneck (the axon tunnel moves
+    ~50 MB/s), so the 64-B reference point blob becomes 32 B on the wire —
+    off-curve x rows produce garbage, same contract as the reference's
+    uncompressed ingest (src/cudasp_extension.cu:159-163)."""
+    tw = tw_ref[:]                     # (8, BT) uint32: LE x words
+    ovm = ovm_ref[:]                   # (1, BT) uint32 bitmask (see below)
+    bx = _limbs_from_words(tw)
+    seven = F.literal_planes(F.int_to_limbs(7), bx.shape[1])
+    y0 = _canon2d(F.sqrt_candidate(F.add(F.mul(F.sqr(bx), bx), seven)))
+    want_odd = ((ovm >> np.uint32(30)) & np.uint32(1)).astype(jnp.int32)
+    by = _sel((y0[0:1] & 1) == want_odd, y0, F.neg(y0))
     one = F.one_like(bx)
     beta = F.literal_planes(F.int_to_limbs(S.GLV_BETA), bx.shape[1])
 
@@ -328,7 +379,7 @@ def _scan_kernel(nlabels, nout, digits_ref,
     # cannot legalize scf.for loops with i1-vector carries
 
     # ---- serialize + tagged hash (src/cudasp_gpu.cu:236-314 equivalent)
-    zi = F.inv(ez)
+    zi = _inv_chain_raw([ez])[0]
     zi2 = F.sqr(zi)
     x_aff = _canon2d(F.mul(ex, zi2))
     y_aff = _canon2d(F.mul(ey, F.mul(zi, zi2)))
@@ -381,7 +432,7 @@ def _scan_kernel(nlabels, nout, digits_ref,
     zinvs = _inv_chain_raw([c[2] for c in cands])
     oh = oh_ref[:]
     ol = ol_ref[:]
-    ovm = ovm_ref[:]                   # (1, BT) uint32 bitmask; bit 31 = row_valid
+    # ovm bits: 0..M-1 = outputs_valid, 30 = y parity, 31 = row_valid
     ov = jnp.concatenate(
         [(ovm >> np.uint32(j)) & np.uint32(1) for j in range(nout)],
         axis=0) != 0                   # (M, BT) bool
@@ -427,7 +478,7 @@ def _scan_pallas_call(tweak_words, outputs_hi, outputs_lo, outputs_mask,
         num_scalar_prefetch=1,
         grid=(B // block_rows,),
         in_specs=[
-            col_block(16),                       # raw LE point words
+            col_block(8),                        # raw LE x words (compressed)
             col_block(M), col_block(M),          # outputs hi/lo
             col_block(1),                        # validity bitmask
             fixed((N, block_rows)), fixed((N, block_rows)),        # spend
@@ -497,16 +548,21 @@ def scan_pallas_sharded(mesh, tweak_words, outputs_hi, outputs_lo,
 def pack_batch_arrays(tweak_blobs, row_valid, outputs_hi, outputs_lo,
                       outputs_valid, block_rows: int = 256):
     """Host-side layout conversion of one packed batch into the kernel's
-    compact planes (~132 B/row instead of the limb layout's ~273 B/row —
-    the H2D link is the scan's bandwidth bottleneck):
+    compact planes (~60 B/row at 3 outputs/row; the H2D link — ~50 MB/s
+    through the axon tunnel — is the scan's bandwidth bottleneck):
 
-      tweak_words (16, Bp) uint32 — the raw LE blob, re-limbed on device
+      tweak_words (8, Bp)  uint32 — LE x words only; y is recovered on
+                                    device from the parity bit (the 64-B
+                                    reference blob compressed to 32 B+1 bit)
       oh/ol       (M, Bp)  uint32 — match words
       ovm         (1, Bp)  uint32 — bit j = outputs_valid[:, j];
-                                    bit 31 = row_valid
+                                    bit 30 = y parity; bit 31 = row_valid
     """
     B = int(tweak_blobs.shape[0])
     M = int(outputs_hi.shape[1])
+    if M > 30:
+        raise ValueError("outputs plane width > 30 collides with the "
+                         "parity/row_valid bits of the validity bitmask")
     Bp = max(block_rows, ((B + block_rows - 1) // block_rows) * block_rows)
     pad = Bp - B
 
@@ -517,12 +573,14 @@ def pack_batch_arrays(tweak_blobs, row_valid, outputs_hi, outputs_lo,
         widths[-1] = (0, pad)
         return np.pad(a, widths)
 
-    words = np.ascontiguousarray(
-        np.ascontiguousarray(tweak_blobs, np.uint8).view(np.uint32).T)
+    blobs = np.ascontiguousarray(tweak_blobs, np.uint8)
+    words = np.ascontiguousarray(blobs[:, :32]).view(np.uint32).T
+    words = np.ascontiguousarray(words)
     ovm = np.zeros(B, np.uint32)
     ov = np.asarray(outputs_valid)
     for j in range(M):
         ovm |= ov[:, j].astype(np.uint32) << np.uint32(j)
+    ovm |= (blobs[:, 32] & np.uint8(1)).astype(np.uint32) << np.uint32(30)
     ovm |= np.asarray(row_valid).astype(np.uint32) << np.uint32(31)
     return (
         padB(words),

@@ -20,11 +20,14 @@ if "xla_force_host_platform_device_count" not in flags:
 if "xla_cpu_use_fusion_emitters" not in flags:
     flags += " --xla_cpu_use_fusion_emitters=false"
 os.environ["XLA_FLAGS"] = flags.strip()
-os.environ["JAX_PLATFORMS"] = "cpu"
+# CUDASP_TEST_PLATFORM=tpu (or axon) runs the hardware-gated tests (e.g.
+# test_pallas_golden_parity_tpu) on the real chip instead of skipping.
+_platform = os.environ.get("CUDASP_TEST_PLATFORM", "cpu")
+os.environ["JAX_PLATFORMS"] = _platform
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_platforms", _platform)
 # Persistent compilation cache: the limb-arithmetic graphs are large; this
 # makes repeat test runs start in seconds instead of minutes.
 jax.config.update("jax_compilation_cache_dir", "/tmp/cudasp_jax_cache")

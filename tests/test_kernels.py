@@ -75,14 +75,15 @@ def test_pack_batch_arrays_layout():
     ol = rng.integers(-2**31, 2**31 - 1, (B, M)).astype(np.int32)
     ov = rng.integers(0, 2, (B, M)).astype(bool)
     words, poh, pol, povm = K.pack_batch_arrays(blobs, rv, oh, ol, ov, BR)
-    assert words.shape == (16, 512) and words.dtype == np.uint32
+    assert words.shape == (8, 512) and words.dtype == np.uint32
     assert np.array_equal(words[:, :B],
-                          blobs.view(np.uint32).T)
+                          np.ascontiguousarray(blobs[:, :32]).view(np.uint32).T)
     assert poh.shape == (M, 512) and poh.dtype == np.uint32
     assert np.array_equal(poh[:, :B].T, oh.view(np.uint32))
-    # bitmask: bit j = outputs_valid, bit 31 = row_valid; pad lanes zero
+    # bitmask: bit j = outputs_valid, bit 30 = y parity, bit 31 = row_valid
     for j in range(M):
         assert np.array_equal(((povm[0, :B] >> j) & 1) != 0, ov[:, j])
+    assert np.array_equal((povm[0, :B] >> 30) & 1, blobs[:, 32] & 1)
     assert np.array_equal(((povm[0, :B] >> 31) & 1) != 0, rv)
     assert (povm[0, B:] == 0).all()
 
@@ -93,6 +94,31 @@ def test_split_outputs_roundtrip():
     hi, lo = ingest.split_outputs_i64(v)
     back = (hi.astype(np.int64) << 32) | (lo.astype(np.int64) & 0xFFFFFFFF)
     assert np.array_equal(back, v)
+
+
+def test_inv_lanes_interpret():
+    """Cross-lane Montgomery-trick inversion == Fermat, every lane."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    from cudasp_tpu.ops import field as F
+    from cudasp_tpu.ops import kernels as K
+    from cudasp_tpu.oracle import ec as O
+
+    B = 256
+    rng = np.random.default_rng(3)
+    vals = [int(rng.integers(1, 2**62)) ** 3 % O.P for _ in range(B)]
+    x = F.pack_ints(vals)
+
+    def kern(x_ref, o_ref):
+        o_ref[:] = K._inv_lanes(x_ref[:])
+
+    out = pl.pallas_call(
+        kern, out_shape=jax.ShapeDtypeStruct((F.NLIMBS, B), jnp.int32),
+        interpret=True)(x)
+    got = F.unpack_ints(np.asarray(jax.jit(F.canonical)(out)))
+    assert got == [pow(v, O.P - 2, O.P) for v in vals]
 
 
 def _kernel_case_arrays(case, B, M=8):

@@ -37,27 +37,37 @@ def _bench_kernel(body, iters, x_ref, y_ref, out_ref):
 
 
 def run_case(name, body, iters, bt, ops_per_iter, reps=5):
+    """Slope timing: the axon tunnel adds a large constant per dispatch
+    (~27 ms) and block_until_ready() does not actually block, so each
+    measurement forces a D2H copy (np.asarray) and the reported time is
+    the per-iteration SLOPE between iters and 3*iters runs, which cancels
+    the constant."""
     rng = np.random.default_rng(0)
     x = rng.integers(0, F.MASK, size=(F.NLIMBS, bt)).astype(np.int32)
     y = rng.integers(0, F.MASK, size=(F.NLIMBS, bt)).astype(np.int32)
 
-    fn = pl.pallas_call(
-        functools.partial(_bench_kernel, body, iters),
-        out_shape=jax.ShapeDtypeStruct((F.NLIMBS, bt), jnp.int32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-    )
-    fn = jax.jit(fn)
-    r = fn(x, y)
-    r.block_until_ready()
-    best = 1e9
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        r = fn(x, y)
-        r.block_until_ready()
-        best = min(best, time.perf_counter() - t0)
-    ns_per_op = best / (iters * ops_per_iter) * 1e9
-    print(f"{name:24s} {best*1e3:8.3f} ms total  {ns_per_op:9.1f} ns/op"
+    def make(n):
+        fn = pl.pallas_call(
+            functools.partial(_bench_kernel, body, n),
+            out_shape=jax.ShapeDtypeStruct((F.NLIMBS, bt), jnp.int32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        )
+        return jax.jit(fn)
+
+    def best_of(fn):
+        np.asarray(fn(x, y))
+        best = 1e9
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            np.asarray(fn(x, y))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1 = best_of(make(iters))
+    t3 = best_of(make(3 * iters))
+    ns_per_op = (t3 - t1) / (2 * iters * ops_per_iter) * 1e9
+    print(f"{name:24s} {t1*1e3:8.3f}/{t3*1e3:8.3f} ms  {ns_per_op:9.1f} ns/op"
           f"  ({bt} lanes, {iters} iters)")
     return ns_per_op
 
