@@ -37,6 +37,9 @@ class ScanConfig:
     # kernel amortizes dispatch over much wider batches than the XLA graph
     # pipeline, whose compile time scales with batch width).
     tile: Optional[int] = None
+    # Pallas kernel lane-tile width (rows per grid step). None = measured
+    # default (512 on v5e); CUDASP_BLOCK_ROWS overrides for experiments.
+    block_rows: Optional[int] = None
 
 
 @dataclass
@@ -222,8 +225,10 @@ def _scan_impl(table, scan_private_key, spend_public_key, label_keys=(),
             p *= 2
         return p
 
+    block_rows = cfg.block_rows or int(
+        os.environ.get("CUDASP_BLOCK_ROWS", "512"))
     executor = BatchExecutor(mesh=cfg.mesh, fused=cfg.fused,
-                             backend=cfg.backend)
+                             backend=cfg.backend, block_rows=block_rows)
     # Pallas tile: 262144 rows/dispatch measured best — wider tiles (1M)
     # degrade sharply on v5e (HBM pressure / grid scheduling), narrower
     # ones pay per-dispatch overhead.

@@ -202,24 +202,43 @@ def _finalize(v: jnp.ndarray) -> jnp.ndarray:
     return v
 
 
+def _fold20_split(v: jnp.ndarray) -> jnp.ndarray:
+    """fold20 for limbs up to ~2^18 (one carry pass after raw product
+    columns): each hi limb splits 13+5 bits inline, so the fold multiplies
+    stay < 2^31 without a second full-width carry pass first. Hi limb h =
+    h_lo + 2^13 h_hi contributes h_lo*F + h_hi*F one row up (and the same
+    for the 2^36 term two/three rows up)."""
+    k = v.shape[0]
+    if k <= NLIMBS:
+        return v
+    lo = v[:NLIMBS]
+    hi = v[NLIMBS:]
+    h_lo = hi & MASK
+    h_hi = hi >> LB
+    out_len = max(NLIMBS, hi.shape[0] + 3)
+    return (_rows_at(lo, 0, out_len)
+            + _rows_at(h_lo * FOLD20_LO, 0, out_len)
+            + _rows_at(h_hi * FOLD20_LO, 1, out_len)
+            + _rows_at(h_lo * FOLD20_HI, 2, out_len)
+            + _rows_at(h_hi * FOLD20_HI, 3, out_len))
+
+
 def _reduce_cols(cols: jnp.ndarray) -> jnp.ndarray:
-    """Reduction of raw product columns (39,B) (each < 20*8400^2 < 2^31)
+    """Reduction of raw product columns (39,B) (each <= 20*9500^2 < 2^31)
     to mulsafe form — the minimal serial pass chain (bounds audited per
     step; every intermediate < 2^31):
 
-      carry   limbs <= 8191 + 172k
-      carry   limbs <= 8219
-      fold20  (23,B)  limbs <= 1.37e8
-      carry   limbs <= 24.9k
-      fold20  (20,B)  limbs <= 4.2e8 (rows 0..5), rest <= 24.9k
-      fold256 strips top-limb bits >= 2^9 (e <= 49)
-      carry   limbs <= 59k (rows 1..6), rest <= 8194
-      fold256 e <= 1
-      carry   limbs <= 8199, top < 2^10     -> mulsafe
+      carry        limbs <= 8191 + 220k = 228k
+      fold20_split (23,B)  limbs <= 1.37e8 (split keeps folds exact)
+      carry        limbs <= 24.9k
+      fold20       (20,B)  limbs <= 4.2e8 (rows 0..5), rest <= 24.9k
+      fold256      strips top-limb bits >= 2^9 (e <= 49)
+      carry        limbs <= 59k (rows 1..6), rest <= 8194
+      fold256      e <= 1
+      carry        limbs <= 8199, top < 2^10     -> mulsafe
     """
     v = _carry(cols, cols.shape[0] + 1)
-    v = _carry(v, v.shape[0] + 1)
-    v = _fold20(v)
+    v = _fold20_split(v)
     v = _carry(v, v.shape[0] + 1)
     v = _fold20(v)
     v = _carry(_fold256(v), NLIMBS)

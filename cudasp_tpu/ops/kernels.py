@@ -445,7 +445,8 @@ def _scan_kernel(nlabels, nout, digits_ref,
         eq = (words[0:1] == oh) & (words[1:2] == ol) & ov
         hit = hit | (jnp.any(eq, axis=0, keepdims=True) & ~dead)
 
-    out_ref[:] = (hit & rv).astype(jnp.int32)
+    out_ref[:] = (hit & rv).astype(jnp.int8)   # int8: flags D2H rides the
+    # same ~50 MB/s tunnel as uploads; 4x smaller readback than int32
 
 
 @functools.partial(jax.jit,
@@ -495,8 +496,12 @@ def _scan_pallas_call(tweak_words, outputs_hi, outputs_lo, outputs_mask,
     flags = pl.pallas_call(
         functools.partial(_scan_kernel, nlabels, M),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((1, B), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((1, B), jnp.int8),
         interpret=interpret,
+        # wide tiles exceed the 16 MB default scoped-vmem budget (the table
+        # scratch scales with block_rows); v5e has more physical VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(digits, tweak_words, outputs_hi, outputs_lo, outputs_mask,
       sxw, syw, lxw, lyw, comb)
     return flags

@@ -152,7 +152,7 @@ class BatchExecutor:
         # the reference's per-batch CUDA streams + cudaMemcpyAsync,
         # src/cudasp_gpu.cu:504-510,609-662; measured 2.4x on the real
         # chip, where uploads otherwise serialize with compute).
-        q: "queue.Queue" = queue.Queue(maxsize=2)
+        q: "queue.Queue" = queue.Queue(maxsize=3)
 
         def feeder():
             try:
@@ -191,7 +191,7 @@ class BatchExecutor:
                 except Exception as e:                  # noqa: BLE001
                     raise ExecutionError(i, e) from e
                 in_flight.append((n, flags, srcs))
-                while len(in_flight) > 2:
+                while len(in_flight) > 3:
                     n, f, srcs = in_flight.pop(0)
                     results.append((np.asarray(f)[0, :n] != 0, srcs))
             for n, f, srcs in in_flight:
