@@ -64,14 +64,22 @@ def main():
                     help="force jax platform (e.g. cpu)")
     args = ap.parse_args()
 
-    if args.platform:
-        import os
+    import os
 
+    if args.platform:
         os.environ["JAX_PLATFORMS"] = args.platform
         import jax
 
         jax.config.update("jax_platforms", args.platform)
     import jax
+
+    # Persistent compilation cache: the fused kernel takes minutes to
+    # compile cold; repeat bench runs (and the driver's round-end run)
+    # start in seconds instead.
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("CUDASP_COMPILE_CACHE", "/tmp/cudasp_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from cudasp_tpu import scan
     from cudasp_tpu.oracle import vectors as V

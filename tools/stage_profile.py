@@ -166,6 +166,60 @@ def main():
 
     run_stage("comb32", comb_stage, bt, 30, 90, extra_in=(comb,))
 
+    # --- comb, kernel-faithful: bytes staged through VMEM scratch and read
+    # back with a dynamic row slice per window (what _scan_kernel does)
+    def comb_scratch(a, b, comb_ref, sbytes):
+        iota = jax.lax.broadcasted_iota(jnp.int32, (256, a.shape[1]), 0)
+        sbytes[:] = jnp.concatenate([a, a[:12]], axis=0) & 255
+        px, py, pz = a, b, one_(a)
+
+        def win(i, carry):
+            px, py, pz = carry
+            tab = comb_ref[i]
+            byte = sbytes[pl.ds(i, 1), :]
+            onehot = (iota == byte).astype(jnp.float32)
+            sel = jax.lax.dot_general(
+                tab, onehot, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST).astype(jnp.int32)
+            return K._madd_core(px, py, pz, sel[: F.NLIMBS], sel[F.NLIMBS:])
+
+        px, py, pz = jax.lax.fori_loop(0, 32, win, (px, py, pz))
+        return F.add(px, F.add(py, pz))
+
+    run_stage("comb32 scratch", comb_scratch, bt, 30, 90, extra_in=(comb,),
+              scratch=(pltpu.VMEM((32, bt), jnp.int32),))
+
+    # --- full fused kernel reference point (per tile)
+    from cudasp_tpu.io import ingest
+    from cudasp_tpu.oracle import vectors as V
+
+    B = 262144
+    rows = V.CASES[0].rows
+    blobs = np.tile(np.frombuffer(rows[0].tweak_blob, np.uint8), (B, 1))
+    rng = np.random.default_rng(0)
+    M = 3
+    oh = rng.integers(0, 2**31, (B, M)).astype(np.int32)
+    ol = rng.integers(0, 2**31, (B, M)).astype(np.int32)
+    planes = K.pack_batch_arrays(blobs, np.ones(B, bool), oh, ol,
+                                 np.ones((B, M), bool), bt)
+    dev = tuple(jax.device_put(a) for a in planes)
+    w, sx, sy, lx, ly, nl = ingest.pack_query_keys(
+        V.CASES[0].scan_key_blob, V.CASES[0].spend_blob, [])
+    digits = jnp.asarray(np.asarray(w.odd, np.int32))
+    sxd, syd, lxd, lyd = (jnp.asarray(x) for x in K.pack_query_arrays(
+        sx, sy, lx, ly, bt))
+    combj = K.comb_table_f32()
+
+    def full():
+        return K._scan_pallas_call(*dev, digits, sxd, syd, lxd, lyd, combj,
+                                   nlabels=nl, block_rows=bt)
+
+    t = _time(full, ())
+    per_tile = t / (B // bt)
+    print(f"{'FULL kernel':14s} {per_tile*1e6:9.1f} us/tile  "
+          f"({B/t/1e6:.3f} M rows/s)")
+
     # --- match: 2 adds + shared inv + canon/words/compare
     def match(a, b):
         one = one_(a)
