@@ -25,6 +25,6 @@ if _cache_dir and _jax.config.jax_compilation_cache_dir is None:
     _jax.config.update("jax_compilation_cache_dir", _cache_dir)
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
-from .api import scan, ScanConfig, ScanResult  # noqa: F401,E402
+from .api import scan, scan_stream, ScanConfig, ScanResult  # noqa: F401,E402
 
-__all__ = ["scan", "ScanConfig", "ScanResult", "__version__"]
+__all__ = ["scan", "scan_stream", "ScanConfig", "ScanResult", "__version__"]

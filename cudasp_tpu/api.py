@@ -163,6 +163,71 @@ def scan(
     return res
 
 
+def scan_stream(
+    chunks,
+    scan_private_key: bytes,
+    spend_public_key: bytes,
+    label_keys: Sequence[bytes] = (),
+    *,
+    config: Optional[ScanConfig] = None,
+    checkpoint=None,
+) -> ScanResult:
+    """Scan an ITERATOR of table chunks with bounded host memory.
+
+    The capacity story for 100M+-row tables (reference README.md:11-12):
+    each chunk (a column mapping or pyarrow RecordBatch/Table slice) is
+    scanned independently — compiled shapes are reused across chunks — and
+    only the matching rows are retained. Complements scan_resumable
+    (runtime.checkpoint), which needs a sliceable in-memory table; pass a
+    runtime.checkpoint.ScanCursor as `checkpoint` to also persist progress
+    (chunks already covered by the cursor are skipped without scanning).
+
+    Returns one aggregated ScanResult with indices global to the stream."""
+    idx_parts: List[np.ndarray] = []
+    txid_parts, height_parts, tweak_parts = [], [], []
+    agg = ScanMetrics() if (config is None or config.collect_metrics) else None
+    offset = 0
+    for chunk in chunks:
+        if hasattr(chunk, "schema") and hasattr(chunk, "column"):
+            chunk = {name: chunk.column(i)
+                     for i, name in enumerate(chunk.schema.names)}
+        res = _scan_impl(chunk, scan_private_key, spend_public_key,
+                         label_keys, config=config)
+        n = res.metrics.rows_in if res.metrics else len(
+            _table_columns(chunk)["tweak_key"])
+        if checkpoint is not None and checkpoint.rows_done > offset + n:
+            offset += n
+            continue
+        idx_parts.append(res.indices + offset)
+        if res.txid is not None:
+            txid_parts.append(np.asarray(res.txid, dtype=object))
+        if res.height is not None:
+            height_parts.append(np.asarray(res.height))
+        tweak_parts.append(res.tweak_key)
+        if agg is not None and res.metrics is not None:
+            agg.rows_in += res.metrics.rows_in
+            agg.rows_scanned += res.metrics.rows_scanned
+            agg.batches += res.metrics.batches
+            agg.matches += res.metrics.matches
+            agg.pack_seconds += res.metrics.pack_seconds
+            agg.device_seconds += res.metrics.device_seconds
+            agg.total_seconds += res.metrics.total_seconds
+        offset += n
+        if checkpoint is not None:
+            checkpoint.rows_done = offset
+            checkpoint.matches.extend(idx_parts[-1].tolist())
+    cat = (np.concatenate(idx_parts) if idx_parts
+           else np.zeros(0, np.int64))
+    return ScanResult(
+        indices=cat,
+        txid=np.concatenate(txid_parts) if txid_parts else None,
+        height=np.concatenate(height_parts) if height_parts else None,
+        tweak_key=(np.concatenate(tweak_parts) if tweak_parts
+                   else np.zeros((0, 64), np.uint8)),
+        metrics=agg,
+    )
+
+
 def _scan_impl(table, scan_private_key, spend_public_key, label_keys=(),
                *, batch_size=None, config=None) -> ScanResult:
     cfg = config or ScanConfig()

@@ -124,6 +124,10 @@ def main(argv=None) -> int:
                     help="output file (.parquet/.feather) or '-' for JSONL")
     sp.add_argument("--metrics", action="store_true",
                     help="print scan metrics to stderr")
+    sp.add_argument("--stream", type=int, default=0, metavar="CHUNK_ROWS",
+                    help="stream the input in CHUNK_ROWS-row chunks with "
+                         "bounded host memory (parquet only; for 100M+-row "
+                         "tables)")
 
     args = ap.parse_args(argv)
     if args.cmd == "scan":
@@ -133,13 +137,26 @@ def main(argv=None) -> int:
         scan_key = _read_key(args.scan_key, 32, "--scan-key")
         spend_key = _read_key(args.spend_key, 64, "--spend-key")
         labels = [_read_key(s, 64, "--label") for s in args.label]
-        table = _load_table(args.input)
 
-        t0 = time.time()
         cfg = ScanConfig(backend=args.backend)
-        res = scan(table, scan_key, spend_key, labels,
-                   batch_size=args.batch_size, config=cfg)
-        dt = time.time() - t0
+        if args.batch_size is not None:
+            cfg.batch_size = args.batch_size
+        if args.stream:
+            if not args.input.endswith((".parquet", ".pq")):
+                raise SystemExit("--stream requires a parquet input")
+            from .api import scan_stream
+            import pyarrow.parquet as pq
+
+            pf = pq.ParquetFile(args.input)
+            t0 = time.time()
+            res = scan_stream(pf.iter_batches(batch_size=args.stream),
+                              scan_key, spend_key, labels, config=cfg)
+            dt = time.time() - t0
+        else:
+            table = _load_table(args.input)
+            t0 = time.time()
+            res = scan(table, scan_key, spend_key, labels, config=cfg)
+            dt = time.time() - t0
         _write_result(res, args.out)
         if args.metrics and res.metrics is not None:
             m = res.metrics.as_dict()

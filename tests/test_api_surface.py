@@ -91,6 +91,69 @@ def test_pyarrow_nulls():
     assert len(res) == len(case.expected_heights) - 1
 
 
+def test_scan_stream_chunked():
+    """scan_stream over an iterator of chunks == scan over the whole table
+    (bounded-memory path for 100M+-row tables)."""
+    from cudasp_tpu import scan_stream
+
+    case = V.CASES[0]
+    rows = case.rows * 4                      # 8 rows, matches at 0,2,4,6
+    table_chunks = []
+    for i in range(0, len(rows), 3):          # ragged chunk sizes
+        chunk_rows = rows[i:i + 3]
+        table_chunks.append({
+            "txid": [r.txid for r in chunk_rows],
+            "height": [r.height for r in chunk_rows],
+            "tweak_key": [r.tweak_blob for r in chunk_rows],
+            "outputs": [list(r.outputs) for r in chunk_rows],
+        })
+    res = scan_stream(iter(table_chunks), case.scan_key_blob,
+                      case.spend_blob, case.label_blobs)
+    expect = [i for i, r in enumerate(rows)
+              if r.height in case.expected_heights]
+    assert res.indices.tolist() == expect
+    assert res.metrics.rows_in == len(rows)
+    for i, idx in enumerate(res.indices):
+        assert bytes(res.tweak_key[i]) == rows[idx].tweak_blob
+
+
+def test_cli_scan_parquet_stream(tmp_path):
+    """CLI --stream: chunked parquet read, same matches as whole-table."""
+    import pyarrow.parquet as pq
+
+    case = V.CASES[0]
+    rows = case.rows * 3
+    table = pa.table({
+        "txid": pa.array([r.txid for r in rows], pa.binary()),
+        "height": pa.array([r.height for r in rows], pa.int32()),
+        "tweak_key": pa.array([r.tweak_blob for r in rows], pa.binary()),
+        "outputs": pa.array([list(r.outputs) for r in rows],
+                            pa.list_(pa.int64())),
+    })
+    inp = tmp_path / "in.parquet"
+    pq.write_table(table, inp)
+    proc = subprocess.run(
+        [sys.executable, "-m", "cudasp_tpu", "scan",
+         "--input", str(inp), "--stream", "4",
+         "--scan-key", case.scan_key_blob.hex(),
+         "--spend-key", case.spend_blob.hex(),
+         "--backend", "xla"]
+        + sum((["--label", lb.hex()] for lb in case.label_blobs), []),
+        capture_output=True, text=True, timeout=600,
+        env={"JAX_PLATFORMS": "cpu",
+             "XLA_FLAGS": "--xla_cpu_use_fusion_emitters=false",
+             "PATH": "/usr/bin:/bin:/usr/local/bin",
+             "HOME": "/root",
+             "PYTHONPATH": "/root/repo"},
+    )
+    assert proc.returncode == 0, proc.stderr
+    got = sorted(json.loads(line)["row"]
+                 for line in proc.stdout.splitlines() if line)
+    expect = sorted(i for i, r in enumerate(rows)
+                    if r.height in case.expected_heights)
+    assert got == expect
+
+
 def test_cli_scan_parquet(tmp_path):
     import pyarrow.parquet as pq
 
