@@ -306,11 +306,17 @@ def _scan_impl(table, scan_private_key, spend_public_key, label_keys=(),
     max_out = int(min(cfg.max_outputs,
                       max(int(lens.max()) if n_scan else 1, 1)))
     pack_time = [0.0]
+    # Pipeline ramp (a small first batch to cut fill time) measured
+    # neutral on the tunnel-attached v5e — the extra dispatch's fixed cost
+    # ate the upload saving — so it's opt-in.
+    ramp = int(os.environ.get("CUDASP_RAMP", "0")) \
+        if executor.backend == "pallas" else 0
     batches = ingest.iter_packed(tweaks_scan, flat, offsets,
                                  batch_size=eff_batch,
                                  max_outputs=max_out,
                                  row_indices=row_indices,
                                  pack_seconds=pack_time,
+                                 ramp=ramp,
                                  layout="kernel"
                                  if executor.backend == "pallas" else "xla")
     if metrics is not None:

@@ -118,6 +118,7 @@ def iter_packed(
     row_indices: Optional[np.ndarray] = None,
     pack_seconds: Optional[list] = None,
     layout: str = "xla",
+    ramp: int = 0,
 ):
     """Yield fixed-shape PackedBatches, fully vectorized, lazily per batch
     so the executor overlaps host packing with device compute (the role of
@@ -127,7 +128,10 @@ def iter_packed(
     rows sharing a source row index (the executor dedups matches on
     emission), so long lists are never truncated. Rows with empty outputs
     are dropped (they can never match — src/cudasp_gpu.cu:29-41).
-    pack_seconds: optional 1-element list accumulating host pack time."""
+    pack_seconds: optional 1-element list accumulating host pack time.
+    ramp: if >0 and the table spans multiple batches, the FIRST batch is
+    this many rows (a small pipeline-fill batch: the first upload cannot
+    overlap anything, so a small one gets the device computing sooner)."""
     import time as _time
 
     t0 = _time.perf_counter()
@@ -167,11 +171,16 @@ def iter_packed(
     midx = np.arange(max_outputs, dtype=np.int64)[None]
     flat2d = (np.asarray(outputs_flat, np.int64).reshape(n, max_outputs)
               if uniform else None)
-    for start in range(0, total, batch_size):
+    use_ramp = bool(ramp and 0 < ramp < batch_size and total > batch_size)
+    bstarts = ([0] + list(range(ramp, total, batch_size)) if use_ramp
+               else list(range(0, total, batch_size)))
+    for bi, start in enumerate(bstarts):
         t0 = _time.perf_counter()
-        stop = min(start + batch_size, total)
+        nxt = bstarts[bi + 1] if bi + 1 < len(bstarts) else total
+        stop = min(nxt, total)
+        cur_batch = ramp if (use_ramp and bi == 0) else batch_size
         k = stop - start
-        pad = batch_size - k
+        pad = cur_batch - k
         sl = slice(start, stop)
 
         def padrows(a, fill=0):

@@ -288,10 +288,33 @@ def _limbs_from_words(w):
     return jnp.concatenate(rows, axis=0).astype(jnp.int32)
 
 
-def _scan_kernel(nlabels, nout, digits_ref,
+def _scan_kernel(nlabels, nout, digits_ref, bmask_ref,
                  tw_ref, oh_ref, ol_ref, ovm_ref,
                  sx_ref, sy_ref, lx_ref, ly_ref, comb_ref,
                  out_ref, tabx, taby, sbytes_ref):
+    """Grid-step dispatcher: blocks whose validity mask says "no live rows"
+    (bmask_ref, scalar-prefetched) skip the entire EC pipeline — padding
+    tiles of a ragged batch and post-exchange empty shards cost one flag
+    write instead of ~750 us (the reference scans its padding rows at full
+    price)."""
+    i = pl.program_id(0)
+
+    @pl.when(bmask_ref[i] == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    @pl.when(bmask_ref[i] != 0)
+    def _():
+        _scan_block(nlabels, nout, digits_ref,
+                    tw_ref, oh_ref, ol_ref, ovm_ref,
+                    sx_ref, sy_ref, lx_ref, ly_ref, comb_ref,
+                    out_ref, tabx, taby, sbytes_ref)
+
+
+def _scan_block(nlabels, nout, digits_ref,
+                tw_ref, oh_ref, ol_ref, ovm_ref,
+                sx_ref, sy_ref, lx_ref, ly_ref, comb_ref,
+                out_ref, tabx, taby, sbytes_ref):
     """One row tile, tweak words -> match flags, fully VMEM-resident.
     (A split ladder/finish two-kernel variant was measured ~7% slower at
     786K rows — the HBM round-trip of the Jacobian plane plus the second
@@ -453,12 +476,17 @@ def _scan_kernel(nlabels, nout, digits_ref,
                    static_argnames=("nlabels", "block_rows", "interpret"))
 def _scan_pallas_call(tweak_words, outputs_hi, outputs_lo, outputs_mask,
                       digits, spend_x, spend_y,
-                      label_x, label_y, comb, *, nlabels, block_rows,
-                      interpret=False):
+                      label_x, label_y, comb, blockmask=None, *, nlabels,
+                      block_rows, interpret=False):
     B = tweak_words.shape[1]
     M = outputs_hi.shape[0]
     L = label_x.shape[0]
     N = F.NLIMBS
+    # blockmask=None compiles WITHOUT the per-block skip branch (the
+    # conditional body degrades Mosaic's input pipelining a few percent, so
+    # fully-live batches shouldn't pay for it); callers pass a mask only
+    # when the batch really has dead tiles.
+    skip = blockmask is not None
 
     def col_block(rows):
         return pl.BlockSpec((rows, block_rows), lambda i, *_: (0, i),
@@ -476,7 +504,7 @@ def _scan_pallas_call(tweak_words, outputs_hi, outputs_lo, outputs_mask,
     lxw = jnp.broadcast_to(label_x, (L, N, block_rows))
     lyw = jnp.broadcast_to(label_y, (L, N, block_rows))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2 if skip else 1,
         grid=(B // block_rows,),
         in_specs=[
             col_block(8),                        # raw LE x words (compressed)
@@ -493,8 +521,13 @@ def _scan_pallas_call(tweak_words, outputs_hi, outputs_lo, outputs_mask,
             pltpu.VMEM((32, block_rows), jnp.int32),        # hash bytes
         ],
     )
+    kern = (functools.partial(_scan_kernel, nlabels, M) if skip
+            else functools.partial(_scan_block, nlabels, M))
+    args = ((digits, blockmask) if skip else (digits,)) + (
+        tweak_words, outputs_hi, outputs_lo, outputs_mask,
+        sxw, syw, lxw, lyw, comb)
     flags = pl.pallas_call(
-        functools.partial(_scan_kernel, nlabels, M),
+        kern,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((1, B), jnp.int8),
         interpret=interpret,
@@ -502,13 +535,12 @@ def _scan_pallas_call(tweak_words, outputs_hi, outputs_lo, outputs_mask,
         # scratch scales with block_rows); v5e has more physical VMEM
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(digits, tweak_words, outputs_hi, outputs_lo, outputs_mask,
-      sxw, syw, lxw, lyw, comb)
+    )(*args)
     return flags
 
 
 @functools.lru_cache(maxsize=32)
-def _sharded_scan_fn(mesh, nlabels, block_rows, interpret):
+def _sharded_scan_fn(mesh, nlabels, block_rows, interpret, skip=False):
     """shard_map-wrapped scan over the mesh's 'data' axis: each chip runs
     the Pallas grid over its local row shard; no collectives are needed
     inside the kernel (rows are independent — SURVEY.md §2.4). This is the
@@ -520,12 +552,14 @@ def _sharded_scan_fn(mesh, nlabels, block_rows, interpret):
     lane = P(None, "data")
     rep2 = P(None, None)
     rep3 = P(None, None, None)
+    specs = (lane, lane, lane, lane, rep2, rep2, rep2, rep3, rep3, rep3)
+    if skip:
+        specs = specs + (P("data"),)
     fn = jax.shard_map(
         functools.partial(_scan_pallas_call, nlabels=nlabels,
                           block_rows=block_rows, interpret=interpret),
         mesh=mesh,
-        in_specs=(lane, lane, lane, lane, rep2, rep2, rep2,
-                  rep3, rep3, rep3),
+        in_specs=specs,
         out_specs=lane,
         check_vma=False,
     )
@@ -534,10 +568,14 @@ def _sharded_scan_fn(mesh, nlabels, block_rows, interpret):
 
 def scan_pallas_sharded(mesh, tweak_words, outputs_hi, outputs_lo,
                         outputs_mask, digits, spend_x, spend_y,
-                        label_x, label_y, comb, *, nlabels,
+                        label_x, label_y, comb, blockmask=None, *, nlabels,
                         block_rows=256, interpret=False):
     """Multi-chip fused scan: batch lanes sharded over mesh axis 'data'.
-    B must be a multiple of n_devices * block_rows."""
+    B must be a multiple of n_devices * block_rows. blockmask: (B //
+    block_rows,) int32, nonzero where the block has live rows (lanes are
+    sharded contiguously, so global block order == (device, local block))."""
+    import jax.numpy as jnp
+
     B = tweak_words.shape[1]
     ndev = mesh.devices.size
     if B % (ndev * block_rows):
@@ -545,9 +583,12 @@ def scan_pallas_sharded(mesh, tweak_words, outputs_hi, outputs_lo,
             f"batch width {B} not a multiple of {ndev} devices x "
             f"{block_rows} block rows")
     fn = _sharded_scan_fn(mesh, int(nlabels), int(block_rows),
-                          bool(interpret))
-    return fn(tweak_words, outputs_hi, outputs_lo, outputs_mask, digits,
-              spend_x, spend_y, label_x, label_y, comb)
+                          bool(interpret), blockmask is not None)
+    args = (tweak_words, outputs_hi, outputs_lo, outputs_mask, digits,
+            spend_x, spend_y, label_x, label_y, comb)
+    if blockmask is not None:
+        args = args + (blockmask,)
+    return fn(*args)
 
 
 def pack_batch_arrays(tweak_blobs, row_valid, outputs_hi, outputs_lo,
@@ -619,11 +660,15 @@ def scan_batch_pallas(tweak_blobs, row_valid, outputs_hi, outputs_lo,
     B = int(tweak_blobs.shape[0])
     planes = pack_batch_arrays(tweak_blobs, row_valid, outputs_hi,
                                outputs_lo, outputs_valid, block_rows)
+    nblocks = planes[0].shape[1] // block_rows
+    bmask = (np.arange(nblocks, dtype=np.int32) * block_rows < B).astype(
+        np.int32)
     flags = _scan_pallas_call(
         *(jnp.asarray(a) for a in planes), jnp.asarray(digits),
         jnp.asarray(spend_x), jnp.asarray(spend_y),
         jnp.asarray(label_x), jnp.asarray(label_y),
-        comb_table_f32(), nlabels=nlabels, block_rows=block_rows)
+        comb_table_f32(), jnp.asarray(bmask) if not bmask.all() else None,
+        nlabels=nlabels, block_rows=block_rows)
     return flags[0, :B] != 0
 
 

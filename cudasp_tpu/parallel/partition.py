@@ -11,10 +11,12 @@ SURVEY.md §2.4 'Communication backend: none'):
     a few bytes per matching row (all_gather over DCN), overlapped with
     the next batch's compute by async dispatch.
 
-Because rows are independent, there is no need to exchange row data
-between hosts at all — the all_to_all skew story reduces to balancing row
-counts, which the rendezvous hash does statistically. Skewed *outputs
-lengths* are handled locally by virtual-row splitting (io.ingest).
+Because rows are independent, hash partitioning balances row counts
+statistically when every host can read any file. When placement is FIXED
+(hosts own specific files/row groups) and counts skew, parallel.exchange
+rebalances packed rows across the mesh with a strided all_to_all before
+EC compute. Skewed *outputs lengths* are handled locally by virtual-row
+splitting (io.ingest).
 """
 
 from __future__ import annotations

@@ -138,13 +138,13 @@ class BatchExecutor:
         lane_sh = self._shardings.limbs if mesh is not None else None
         interpret = jax.default_backend() == "cpu"
 
-        def dispatch(dev):
+        def dispatch(dev, bmask):
             if mesh is None:
                 return K._scan_pallas_call(
-                    *dev, digits, sx, sy, lx, ly, comb,
+                    *dev, digits, sx, sy, lx, ly, comb, bmask,
                     nlabels=nlabels, block_rows=br)
             return K.scan_pallas_sharded(
-                mesh, *dev, digits, sx, sy, lx, ly, comb,
+                mesh, *dev, digits, sx, sy, lx, ly, comb, bmask,
                 nlabels=nlabels, block_rows=br, interpret=interpret)
 
         # Host packing + H2D upload run on a feeder thread so the transfer
@@ -165,7 +165,26 @@ class BatchExecutor:
                         blobs, b.row_valid, b.outputs_hi,
                         b.outputs_lo, b.outputs_valid, pad_to)
                     dev = tuple(jax.device_put(a, lane_sh) for a in planes)
-                    q.put((i, blobs.shape[0], dev, b.source_rows))
+                    # valid rows are a prefix of the packed lanes, so block
+                    # i is dead iff it starts at/after the row count —
+                    # padding tiles skip the whole EC pipeline on device.
+                    # Fully-live batches pass None: the skip-free kernel
+                    # variant pipelines a few percent better.
+                    nblocks = planes[0].shape[1] // br
+                    n_live = int(b.row_valid.sum())
+                    mask_np = (np.arange(nblocks) * br < n_live)
+                    if mask_np.all():
+                        bmask = None
+                    else:
+                        bmask = jnp.asarray(mask_np.astype(np.int32))
+                        if mesh is not None:
+                            from jax.sharding import (NamedSharding,
+                                                      PartitionSpec)
+
+                            bmask = jax.device_put(
+                                bmask,
+                                NamedSharding(mesh, PartitionSpec("data")))
+                    q.put((i, blobs.shape[0], (dev, bmask), b.source_rows))
             except Exception as e:                      # noqa: BLE001
                 q.put(e)
                 return
@@ -184,10 +203,10 @@ class BatchExecutor:
                     break
                 if isinstance(item, Exception):
                     raise ExecutionError(nb, item) from item
-                i, n, dev, srcs = item
+                i, n, (dev, bmask), srcs = item
                 nb += 1
                 try:
-                    flags = dispatch(dev)
+                    flags = dispatch(dev, bmask)
                 except Exception as e:                  # noqa: BLE001
                     raise ExecutionError(i, e) from e
                 in_flight.append((n, flags, srcs))

@@ -220,8 +220,8 @@ def test_pallas_sharded_lane_split(monkeypatch):
     from cudasp_tpu.ops import kernels as K
     from cudasp_tpu.parallel.mesh import make_mesh
 
-    def stub(tw, oh, ol, ovm, digits, sx, sy, lx, ly, comb, *,
-             nlabels, block_rows, interpret=False):
+    def stub(tw, oh, ol, ovm, digits, sx, sy, lx, ly, comb, blockmask=None,
+             *, nlabels, block_rows, interpret=False):
         # flags = low word of the tweak plane + validity bit: proves the
         # shard saw its own lanes of both a wide and a (1, B) plane
         return (tw[:1] + ovm).astype(jnp.int32)
