@@ -65,16 +65,16 @@ def select_point(mask, p: JacPoint, q: JacPoint) -> JacPoint:
 
 
 def dbl(p: JacPoint) -> JacPoint:
-    """a=0 Jacobian doubling (dbl-2009-l): 2M + 5S + smalls."""
+    """a=0 Jacobian doubling (dbl-2009-l): 2M + 5S, epilogues fused into
+    the producers' reduce tails (F.sqr_dbl_sub2 & co)."""
     a = F.sqr(p.x)
     b = F.sqr(p.y)
     c = F.sqr(b)
-    t = F.sqr(F.add(p.x, b))
-    d = F.dbl_sub2(t, a, c)
+    d = F.sqr_dbl_sub2(F.add(p.x, b), a, c)
     e = F.mul_small(a, 3)
-    x3 = F.sub_dbl(F.sqr(e), d)
-    y3 = F.sub_scaled8(F.mul(e, F.sub(d, x3)), c)
-    z3 = F.mul_small(F.mul(p.y, p.z), 2)
+    x3 = F.sqr_sub_dbl(e, d)
+    y3 = F.mul_sub_scaled8(e, F.sub(d, x3), c)
+    z3 = F.mul_x2(p.y, p.z)
     return JacPoint(x3, y3, z3, p.inf)
 
 
@@ -107,18 +107,16 @@ def madd(p: JacPoint, q: AffinePoint) -> JacPoint:
     (infinity). The reference's AddPointsAndGetX (src/cudasp_gpu.cu:44-64)
     handles none of these."""
     z1z1 = F.sqr(p.z)
-    u2 = F.mul(q.x, z1z1)
-    s2 = F.mul(q.y, F.mul(p.z, z1z1))
-    h = F.sub(u2, p.x)
-    r = F.sub(s2, p.y)
+    h = F.mul_sub(q.x, z1z1, p.x)
+    r = F.mul_sub(q.y, F.mul(p.z, z1z1), p.y)
     h_zero = F.is_zero(h)
     r_zero = F.is_zero(r)
 
     hh = F.sqr(h)
     h3 = F.mul(h, hh)
     v = F.mul(p.x, hh)
-    x3 = F.sub2_dbl(F.sqr(r), h3, v)
-    y3 = F.sub(F.mul(r, F.sub(v, x3)), F.mul(p.y, h3))
+    x3 = F.sqr_sub2_dbl(r, h3, v)
+    y3 = F.mul_sub(r, F.sub(v, x3), F.mul(p.y, h3))
     z3 = F.mul(p.z, h)
     added = JacPoint(x3, y3, z3, jnp.zeros_like(p.inf))
     return _apply_degenerate(p, to_jacobian(q), q.inf, h_zero, r_zero, added)
@@ -129,15 +127,13 @@ def madd_fast(p: JacPoint, q: AffinePoint) -> JacPoint:
     are finite BY CONSTRUCTION (e.g. window-table chains kP + P, k >= 2,
     with P of prime order n: kP == +-P would need k == +-1 mod n)."""
     z1z1 = F.sqr(p.z)
-    u2 = F.mul(q.x, z1z1)
-    s2 = F.mul(q.y, F.mul(p.z, z1z1))
-    h = F.sub(u2, p.x)
-    r = F.sub(s2, p.y)
+    h = F.mul_sub(q.x, z1z1, p.x)
+    r = F.mul_sub(q.y, F.mul(p.z, z1z1), p.y)
     hh = F.sqr(h)
     h3 = F.mul(h, hh)
     v = F.mul(p.x, hh)
-    x3 = F.sub2_dbl(F.sqr(r), h3, v)
-    y3 = F.sub(F.mul(r, F.sub(v, x3)), F.mul(p.y, h3))
+    x3 = F.sqr_sub2_dbl(r, h3, v)
+    y3 = F.mul_sub(r, F.sub(v, x3), F.mul(p.y, h3))
     z3 = F.mul(p.z, h)
     return JacPoint(x3, y3, z3, p.inf | q.inf)
 
@@ -147,19 +143,17 @@ def jadd(p: JacPoint, q: JacPoint) -> JacPoint:
     z1z1 = F.sqr(p.z)
     z2z2 = F.sqr(q.z)
     u1 = F.mul(p.x, z2z2)
-    u2 = F.mul(q.x, z1z1)
     s1 = F.mul(p.y, F.mul(q.z, z2z2))
-    s2 = F.mul(q.y, F.mul(p.z, z1z1))
-    h = F.sub(u2, u1)
-    r = F.sub(s2, s1)
+    h = F.mul_sub(q.x, z1z1, u1)
+    r = F.mul_sub(q.y, F.mul(p.z, z1z1), s1)
     h_zero = F.is_zero(h)
     r_zero = F.is_zero(r)
 
     hh = F.sqr(h)
     h3 = F.mul(h, hh)
     v = F.mul(u1, hh)
-    x3 = F.sub2_dbl(F.sqr(r), h3, v)
-    y3 = F.sub(F.mul(r, F.sub(v, x3)), F.mul(s1, h3))
+    x3 = F.sqr_sub2_dbl(r, h3, v)
+    y3 = F.mul_sub(r, F.sub(v, x3), F.mul(s1, h3))
     z3 = F.mul(F.mul(p.z, q.z), h)
     added = JacPoint(x3, y3, z3, jnp.zeros_like(p.inf))
     return _apply_degenerate(p, q, q.inf, h_zero, r_zero, added)

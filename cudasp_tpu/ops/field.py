@@ -223,7 +223,7 @@ def _fold20_split(v: jnp.ndarray) -> jnp.ndarray:
             + _rows_at(h_hi * FOLD20_HI, 3, out_len))
 
 
-def _reduce_cols(cols: jnp.ndarray) -> jnp.ndarray:
+def _reduce_cols(cols: jnp.ndarray, post=None) -> jnp.ndarray:
     """Reduction of raw product columns (39,B) (each <= 20*9500^2 < 2^31)
     to mulsafe form — the minimal serial pass chain (bounds audited per
     step; every intermediate < 2^31):
@@ -232,15 +232,24 @@ def _reduce_cols(cols: jnp.ndarray) -> jnp.ndarray:
       fold20_split (23,B)  limbs <= 1.37e8 (split keeps folds exact)
       carry        limbs <= 24.9k
       fold20       (20,B)  limbs <= 4.2e8 (rows 0..5), rest <= 24.9k
-      fold256      strips top-limb bits >= 2^9 (e <= 49)
-      carry        limbs <= 59k (rows 1..6), rest <= 8194
+      [post]       optional fused epilogue, see below
+      fold256      strips top-limb bits >= 2^9
+      carry        limbs <= 104k
       fold256      e <= 1
-      carry        limbs <= 8199, top < 2^10     -> mulsafe
-    """
+      carry        limbs <= 8205, top < 2^10     -> mulsafe
+
+    `post` fuses the ± epilogues of the EC formula lines into this tail
+    (the mul_sub/sqr_*_dbl family below): it runs on the (20,B) state
+    (rows 0..5 <= 4.2e8, rest <= 24.9k, top row <= 24.9k, all >= 0) and
+    must return non-negative rows <= ~8.5e8 with the same value mod p —
+    which every borrow-proof (D - x) line and a single doubling satisfy.
+    One fused line replaces a full _lazy pass pair."""
     v = _carry(cols, cols.shape[0] + 1)
     v = _fold20_split(v)
     v = _carry(v, v.shape[0] + 1)
     v = _fold20(v)
+    if post is not None:
+        v = post(v)
     v = _carry(_fold256(v), NLIMBS)
     return _carry(_fold256(v), NLIMBS)
 
@@ -349,6 +358,57 @@ def sqr(a: jnp.ndarray) -> jnp.ndarray:
     on TPU: its per-limb sublane shifts dominate, while _product_cols pays
     only 9 shift passes total. Shared-operand shifts also dedupe."""
     return _reduce_cols(_product_cols(a, a))
+
+
+# Fused product+epilogue ops: the EC formulas' ± lines ride the reduce
+# tail (see _reduce_cols `post`) instead of paying their own _lazy pass
+# pair. All subtrahends are borrow-proof for mulsafe operands (same D
+# constants as the standalone sub/sub_dbl/... helpers).
+
+
+def mul_sub(a: jnp.ndarray, b: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
+    """a*b - c (mod p), one fused reduction."""
+    d8 = _d8_col()
+    return _reduce_cols(_product_cols(a, b), post=lambda s: s + (d8 - c))
+
+
+def mul_sub_scaled8(a, b, c) -> jnp.ndarray:
+    """a*b - 8c (mod p)."""
+    d = _literal_col(D16_9_LIMBS)
+    return _reduce_cols(_product_cols(a, b), post=lambda s: s + (d - c * 8))
+
+
+def mul_x2(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """2*a*b (mod p): the doubling rides the tail (state <= 4.2e8 doubles
+    to <= 8.5e8 < 2^31)."""
+    return _reduce_cols(_product_cols(a, b), post=lambda s: s + s)
+
+
+def sqr_sub2_dbl(r, h3, v) -> jnp.ndarray:
+    """r^2 - h3 - 2v (mod p): the madd x3 line."""
+    d8 = _d8_col()
+    d16 = _literal_col(D16_3_LIMBS)
+    return _reduce_cols(
+        _product_cols(r, r),
+        post=lambda s: s + (d8 - h3) + (d16 - (v + v)))
+
+
+def sqr_dbl_sub2(t, a, c) -> jnp.ndarray:
+    """2*(t^2 - a - c) (mod p): the dbl d line."""
+    d8 = _d8_col()
+
+    def post(s):
+        s = s + (d8 - a) + (d8 - c)
+        return s + s
+
+    return _reduce_cols(_product_cols(t, t), post=post)
+
+
+def sqr_sub_dbl(e, d) -> jnp.ndarray:
+    """e^2 - 2d (mod p): the dbl x3 line."""
+    d16 = _literal_col(D16_3_LIMBS)
+    return _reduce_cols(_product_cols(e, e),
+                        post=lambda s: s + (d16 - (d + d)))
 
 
 def zero_like(a: jnp.ndarray) -> jnp.ndarray:

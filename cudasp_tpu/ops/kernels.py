@@ -148,19 +148,18 @@ def _bytes_from_words_2d(words):
 def _jadd_shared_core(px, py, pz, qx, qy, qz, qzz, qzc):
     """Incomplete Jacobian + Jacobian add where q's z^2 (qzz) and z^3 (qzc)
     are precomputed and shared across calls (10M+3S per call). Used by the
-    odd-multiple table chain, whose adds are all +2P."""
+    odd-multiple table chain, whose adds are all +2P. The +- epilogues ride
+    the producers' reduce tails (F.mul_sub & co)."""
     z1z1 = F.sqr(pz)
     u1 = F.mul(px, qzz)
     s1 = F.mul(py, qzc)
-    u2 = F.mul(qx, z1z1)
-    s2 = F.mul(qy, F.mul(pz, z1z1))
-    h = F.sub(u2, u1)
-    r = F.sub(s2, s1)
+    h = F.mul_sub(qx, z1z1, u1)
+    r = F.mul_sub(qy, F.mul(pz, z1z1), s1)
     hh = F.sqr(h)
     h3 = F.mul(h, hh)
     v = F.mul(u1, hh)
-    x3 = F.sub2_dbl(F.sqr(r), h3, v)
-    y3 = F.sub(F.mul(r, F.sub(v, x3)), F.mul(s1, h3))
+    x3 = F.sqr_sub2_dbl(r, h3, v)
+    y3 = F.mul_sub(r, F.sub(v, x3), F.mul(s1, h3))
     z3 = F.mul(F.mul(pz, qz), h)
     return x3, y3, z3
 
@@ -168,15 +167,13 @@ def _jadd_shared_core(px, py, pz, qx, qy, qz, qzz, qzc):
 def _madd_core(px, py, pz, qx, qy):
     """Incomplete mixed add (8M+3S); caller owns degenerate-case selects."""
     z1z1 = F.sqr(pz)
-    u2 = F.mul(qx, z1z1)
-    s2 = F.mul(qy, F.mul(pz, z1z1))
-    h = F.sub(u2, px)
-    r = F.sub(s2, py)
+    h = F.mul_sub(qx, z1z1, px)
+    r = F.mul_sub(qy, F.mul(pz, z1z1), py)
     hh = F.sqr(h)
     h3 = F.mul(h, hh)
     v = F.mul(px, hh)
-    x3 = F.sub2_dbl(F.sqr(r), h3, v)
-    y3 = F.sub(F.mul(r, F.sub(v, x3)), F.mul(py, h3))
+    x3 = F.sqr_sub2_dbl(r, h3, v)
+    y3 = F.mul_sub(r, F.sub(v, x3), F.mul(py, h3))
     z3 = F.mul(pz, h)
     return x3, y3, z3
 
@@ -186,12 +183,11 @@ def _dbl(px, py, pz):
     a = F.sqr(px)
     b = F.sqr(py)
     c = F.sqr(b)
-    t = F.sqr(F.add(px, b))
-    d = F.dbl_sub2(t, a, c)
+    d = F.sqr_dbl_sub2(F.add(px, b), a, c)
     e = F.mul_small(a, 3)
-    x3 = F.sub_dbl(F.sqr(e), d)
-    y3 = F.sub_scaled8(F.mul(e, F.sub(d, x3)), c)
-    z3 = F.mul_small(F.mul(py, pz), 2)
+    x3 = F.sqr_sub_dbl(e, d)
+    y3 = F.mul_sub_scaled8(e, F.sub(d, x3), c)
+    z3 = F.mul_x2(py, pz)
     return x3, y3, z3
 
 

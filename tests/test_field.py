@@ -76,6 +76,43 @@ def test_mul_small(results):
     _check(results["mul8"], lambda x, y: 8 * x)
 
 
+def test_fused_lines():
+    """Fused product+epilogue ops == plain modular arithmetic, incl. the
+    mulsafe-limit operand (limbs 9500 / top 8191)."""
+    import jax
+
+    import cudasp_tpu.ops.field as F
+
+    rng = np.random.default_rng(5)
+    B = 64
+
+    def rnd():
+        a = rng.integers(0, F.MASK, (F.NLIMBS, B)).astype(np.int32)
+        return a
+
+    a, b, c = rnd(), rnd(), rnd()
+    a[:, 0] = 9500
+    a[-1, 0] = 8191
+    va, vb, vc = ([F.limbs_to_int(x[:, j]) for j in range(B)]
+                  for x in (a, b, c))
+    can = jax.jit(F.canonical)
+    cases = [
+        (F.mul_sub(a, b, c), [(x * y - z) % P for x, y, z in zip(va, vb, vc)]),
+        (F.mul_sub_scaled8(a, b, c),
+         [(x * y - 8 * z) % P for x, y, z in zip(va, vb, vc)]),
+        (F.mul_x2(a, b), [(2 * x * y) % P for x, y in zip(va, vb)]),
+        (F.sqr_sub2_dbl(a, b, c),
+         [(x * x - y - 2 * z) % P for x, y, z in zip(va, vb, vc)]),
+        (F.sqr_dbl_sub2(a, b, c),
+         [2 * (x * x - y - z) % P for x, y, z in zip(va, vb, vc)]),
+        (F.sqr_sub_dbl(a, b), [(x * x - 2 * y) % P for x, y in zip(va, vb)]),
+    ]
+    for got, exp in cases:
+        lim = np.asarray(got)
+        assert (lim[:-1] <= 9500).all() and (lim[-1] < 2**13).all()
+        assert F.unpack_ints(np.asarray(can(got))) == exp
+
+
 def test_inv(results):
     _check(results["inv"], lambda x, y: pow(x, P - 2, P) if x else 0)
 
