@@ -191,13 +191,14 @@ def scan_stream(
         if hasattr(chunk, "schema") and hasattr(chunk, "column"):
             chunk = {name: chunk.column(i)
                      for i, name in enumerate(chunk.schema.names)}
-        res = _scan_impl(chunk, scan_private_key, spend_public_key,
-                         label_keys, config=config)
-        n = res.metrics.rows_in if res.metrics else len(
-            _table_columns(chunk)["tweak_key"])
-        if checkpoint is not None and checkpoint.rows_done > offset + n:
+        n = len(_table_columns(chunk)["tweak_key"])
+        if checkpoint is not None and checkpoint.rows_done >= offset + n:
+            # chunk fully covered by a previous run: skip without scanning
+            # (its matches are already in checkpoint.matches)
             offset += n
             continue
+        res = _scan_impl(chunk, scan_private_key, spend_public_key,
+                         label_keys, config=config)
         idx_parts.append(res.indices + offset)
         if res.txid is not None:
             txid_parts.append(np.asarray(res.txid, dtype=object))
@@ -218,6 +219,15 @@ def scan_stream(
             checkpoint.matches.extend(idx_parts[-1].tolist())
     cat = (np.concatenate(idx_parts) if idx_parts
            else np.zeros(0, np.int64))
+    if checkpoint is not None and checkpoint.matches:
+        # resumed runs fold previously-found matches back in; passthrough
+        # columns would misalign with indices from a prior process, so a
+        # checkpointed stream returns indices + metrics only
+        cat = np.unique(np.concatenate(
+            [cat, np.asarray(checkpoint.matches, np.int64)]))
+        return ScanResult(indices=cat, txid=None, height=None,
+                          tweak_key=np.zeros((0, 64), np.uint8),
+                          metrics=agg)
     return ScanResult(
         indices=cat,
         txid=np.concatenate(txid_parts) if txid_parts else None,

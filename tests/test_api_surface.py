@@ -117,6 +117,39 @@ def test_scan_stream_chunked():
         assert bytes(res.tweak_key[i]) == rows[idx].tweak_blob
 
 
+def test_scan_stream_checkpoint_resume():
+    """A resumed stream skips covered chunks and still reports every match
+    (prior matches fold in from the cursor)."""
+    from cudasp_tpu import scan_stream
+    from cudasp_tpu.runtime.checkpoint import ScanCursor
+
+    case = V.CASES[0]
+    rows = case.rows * 4
+    def chunks():
+        for i in range(0, len(rows), 2):
+            cr = rows[i:i + 2]
+            yield {"height": [r.height for r in cr],
+                   "tweak_key": [r.tweak_blob for r in cr],
+                   "outputs": [list(r.outputs) for r in cr]}
+
+    expect = [i for i, r in enumerate(rows)
+              if r.height in case.expected_heights]
+    cur = ScanCursor()
+    res1 = scan_stream(chunks(), case.scan_key_blob, case.spend_blob,
+                       case.label_blobs, checkpoint=cur)
+    assert res1.indices.tolist() == expect
+    rows_done_full = cur.rows_done
+    # simulate a restart after 2 chunks: rows_done=4, matches so far kept
+    cur2 = ScanCursor(rows_done=4,
+                      matches=[i for i in expect if i < 4])
+    res2 = scan_stream(chunks(), case.scan_key_blob, case.spend_blob,
+                       case.label_blobs, checkpoint=cur2)
+    assert res2.indices.tolist() == expect
+    assert cur2.rows_done == rows_done_full
+    # resumed run scanned only the uncovered chunks
+    assert res2.metrics.rows_in == len(rows) - 4
+
+
 def test_cli_scan_parquet_stream(tmp_path):
     """CLI --stream: chunked parquet read, same matches as whole-table."""
     import pyarrow.parquet as pq

@@ -38,23 +38,34 @@ def _kernel(op, iters, nstreams, x_ref, out_ref):
 
 
 def run(name, op, iters, rows, bt, nstreams=8, reps=5):
+    """Slope timing (t(3N) - t(N)) / 2N: the axon tunnel adds a ~27 ms
+    constant per synced dispatch that would otherwise swamp the ALUs."""
     rng = np.random.default_rng(0)
     x = rng.integers(1, MASK, size=(rows, bt)).astype(np.int32)
-    fn = jax.jit(pl.pallas_call(
-        functools.partial(_kernel, op, iters, nstreams),
-        out_shape=jax.ShapeDtypeStruct((rows, bt), jnp.int32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-    ))
-    r = fn(x)
-    np.asarray(r)
-    best = 1e9
-    for _ in range(reps):
-        t0 = time.perf_counter()
+
+    def make(n):
+        return jax.jit(pl.pallas_call(
+            functools.partial(_kernel, op, n, nstreams),
+            out_shape=jax.ShapeDtypeStruct((rows, bt), jnp.int32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        ))
+
+    def best_of(fn):
         np.asarray(fn(x))
-        best = min(best, time.perf_counter() - t0)
-    nops = iters * nstreams * rows * bt
-    print(f"{name:20s} {best*1e3:8.3f} ms  {nops/best/1e9:8.1f} Gop/s "
+        best = 1e9
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            np.asarray(fn(x))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1 = best_of(make(iters))
+    t3 = best_of(make(3 * iters))
+    per_iter = (t3 - t1) / (2 * iters)
+    nops = nstreams * rows * bt
+    print(f"{name:20s} {(t3-t1)*1e3:8.3f} ms slope  "
+          f"{nops/per_iter/1e9:8.1f} Gop/s "
           f"({rows}x{bt}, {nstreams} streams, {iters} iters)")
 
 
