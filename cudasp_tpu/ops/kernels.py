@@ -9,7 +9,9 @@ instead of SMs): the grid walks row tiles of `block_rows` lanes, and one
 kernel invocation takes a tile from tweak-point limbs all the way to match
 flags without touching HBM in between:
 
-    table build (7 pts)      - Jacobian chain + one batched inversion,
+    decompress (x -> y)      - sqrt(x^3+7) ladder + wire parity bit (tweaks
+                               upload as 32-B x only; see pack_batch_arrays)
+    table build (7 pts)      - Jacobian chain + one cross-lane inversion,
                                GLV half-2 derived via the lambda
                                endomorphism (x -> beta*x) instead of a
                                second chain
@@ -18,12 +20,15 @@ flags without touching HBM in between:
                                scalar prefetch (SMEM), so table selects are
                                shared-index dynamic slices with no skip
                                selects and no infinity tracking
-    to-affine + tagged hash  - Fermat inversion, canonicalize, 1 SHA-256
-                               compression (midstate folded into literals)
+    to-affine + tagged hash  - cross-lane batched inversion (_inv_lanes:
+                               prefix/suffix scans + one narrow ladder),
+                               canonicalize, 1 SHA-256 compression
+                               (midstate folded into literals)
     fixed-base comb (32 win) - one-hot f32 matmuls on the MXU against the
                                resident 1.3 MB G-multiple table + mixed add
-    spend/label adds + match - shared-chain inversion, upper-64 extract,
-                               semi-join against the padded outputs plane
+    spend/label adds + match - shared-chain + cross-lane inversion,
+                               upper-64 extract, semi-join against the
+                               padded outputs plane
 
 Reference parity: semantics match src/cudasp_gpu.cu:74-178 + :236-354
 (serialize, tagged hash, fixed-point mult, match w/ labels); degenerate

@@ -71,6 +71,48 @@ def test_outputs_overflow_split():
     assert len(res) == 1
 
 
+def test_random_keys_fuzz_vs_oracle():
+    """Random scan/spend/label keys and random tweak points: scan() ==
+    the pure-Python oracle row by row (the golden vectors only pin FIXED
+    keys; this guards the GLV recoding and label paths for arbitrary
+    ones). Key changes are data, not shapes — one compile covers all."""
+    import random
+
+    from cudasp_tpu.oracle import ec as O
+    from cudasp_tpu.oracle import pipeline as PIPE
+    from cudasp_tpu.oracle.encoding import point_to_blob64, scalar_to_blob32
+
+    rng = random.Random(1234)
+    g = (O.GX, O.GY)
+    n = 24
+    for trial in range(3):
+        scan_key = rng.randrange(1, O.N)
+        spend = O.ec_mul(g, rng.randrange(1, O.N))
+        label = O.ec_mul(g, rng.randrange(1, O.N))
+        tweaks, outputs, expect = [], [], []
+        for i in range(n):
+            tw = O.ec_mul(g, rng.randrange(1, O.N))
+            cands = PIPE.candidate_values(tw, scan_key, spend, [label])
+            mode = i % 4      # 0: base match, 1: label match, 2/3: miss
+            outs = [rng.randrange(-2**62, 2**62) for _ in range(3)]
+            if mode == 0:
+                outs[rng.randrange(3)] = cands[0]
+            elif mode == 1:
+                outs[rng.randrange(3)] = cands[1]
+            tweaks.append(point_to_blob64(tw))
+            outputs.append(outs)
+            expect.append(PIPE.scan_row(tw, scan_key, spend, outs, [label]))
+            assert expect[-1] == (mode < 2)
+        res = scan(
+            {"height": list(range(n)), "tweak_key": tweaks,
+             "outputs": outputs},
+            scalar_to_blob32(scan_key), point_to_blob64(spend),
+            [point_to_blob64(label)],
+        )
+        got = sorted(int(i) for i in res.indices)
+        assert got == [i for i, e in enumerate(expect) if e], f"trial {trial}"
+
+
 def test_empty_table():
     table = {
         "height": np.zeros(0, np.int32),
