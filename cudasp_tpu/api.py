@@ -182,7 +182,22 @@ def scan_stream(
     runtime.checkpoint.ScanCursor as `checkpoint` to also persist progress
     (chunks already covered by the cursor are skipped without scanning).
 
-    Returns one aggregated ScanResult with indices global to the stream."""
+    Returns one aggregated ScanResult with indices global to the stream.
+    On an actual RESUME (the cursor already covered rows), passthrough
+    columns are None — rows matched by a prior process are gone — and the
+    cursor's matches fold into the returned indices."""
+    from .runtime.checkpoint import _query_digest
+
+    if checkpoint is not None:
+        digest = _query_digest(scan_private_key, spend_public_key,
+                               label_keys)
+        if checkpoint.query_digest and checkpoint.query_digest != digest:
+            raise BindError(
+                "checkpoint was written by a different query (key "
+                "mismatch); refusing to resume")
+        checkpoint.query_digest = digest
+    resumed = checkpoint is not None and checkpoint.rows_done > 0
+
     idx_parts: List[np.ndarray] = []
     txid_parts, height_parts, tweak_parts = [], [], []
     agg = ScanMetrics() if (config is None or config.collect_metrics) else None
@@ -192,24 +207,31 @@ def scan_stream(
             chunk = {name: chunk.column(i)
                      for i, name in enumerate(chunk.schema.names)}
         n = len(_table_columns(chunk)["tweak_key"])
-        if checkpoint is not None and checkpoint.rows_done >= offset + n:
+        covered = (max(0, min(checkpoint.rows_done - offset, n))
+                   if checkpoint is not None else 0)
+        if covered >= n:
             # chunk fully covered by a previous run: skip without scanning
             # (its matches are already in checkpoint.matches)
             offset += n
             continue
         res = _scan_impl(chunk, scan_private_key, spend_public_key,
                          label_keys, config=config)
-        idx_parts.append(res.indices + offset)
+        idx = res.indices
+        if covered:
+            # cursor landed mid-chunk (different chunking on resume): the
+            # covered prefix's matches/metrics belong to the prior run
+            idx = idx[idx >= covered]
+        idx_parts.append(idx + offset)
         if res.txid is not None:
             txid_parts.append(np.asarray(res.txid, dtype=object))
         if res.height is not None:
             height_parts.append(np.asarray(res.height))
         tweak_parts.append(res.tweak_key)
         if agg is not None and res.metrics is not None:
-            agg.rows_in += res.metrics.rows_in
+            agg.rows_in += res.metrics.rows_in - covered
             agg.rows_scanned += res.metrics.rows_scanned
             agg.batches += res.metrics.batches
-            agg.matches += res.metrics.matches
+            agg.matches += len(idx)
             agg.pack_seconds += res.metrics.pack_seconds
             agg.device_seconds += res.metrics.device_seconds
             agg.total_seconds += res.metrics.total_seconds
@@ -219,12 +241,14 @@ def scan_stream(
             checkpoint.matches.extend(idx_parts[-1].tolist())
     cat = (np.concatenate(idx_parts) if idx_parts
            else np.zeros(0, np.int64))
-    if checkpoint is not None and checkpoint.matches:
-        # resumed runs fold previously-found matches back in; passthrough
-        # columns would misalign with indices from a prior process, so a
-        # checkpointed stream returns indices + metrics only
-        cat = np.unique(np.concatenate(
-            [cat, np.asarray(checkpoint.matches, np.int64)]))
+    if resumed:
+        # fold previously-found matches back in; passthrough columns would
+        # misalign with indices from a prior process, so a RESUMED stream
+        # returns indices + metrics only (a fresh run with a cursor keeps
+        # its passthrough columns)
+        if checkpoint.matches:
+            cat = np.unique(np.concatenate(
+                [cat, np.asarray(checkpoint.matches, np.int64)]))
         return ScanResult(indices=cat, txid=None, height=None,
                           tweak_key=np.zeros((0, 64), np.uint8),
                           metrics=agg)
@@ -311,9 +335,12 @@ def _scan_impl(table, scan_private_key, spend_public_key, label_keys=(),
     n_scan = tweaks_scan.shape[0]
     eff_batch = min(_pow2_at_least(cfg.batch_size),
                     _pow2_at_least(max(n_scan, 1)), tile)
-    # adaptive outputs width: never ship wider planes than the data needs
+    # adaptive outputs width: never ship wider planes than the data needs.
+    # Hard cap 30 — bits 30/31 of the validity bitmask carry y-parity and
+    # row_valid (kernels.pack_batch_arrays); wider lists split into
+    # virtual rows instead.
     lens = offsets[1:] - offsets[:-1]
-    max_out = int(min(cfg.max_outputs,
+    max_out = int(min(cfg.max_outputs, 30,
                       max(int(lens.max()) if n_scan else 1, 1)))
     pack_time = [0.0]
     # Pipeline ramp (a small first batch to cut fill time) measured

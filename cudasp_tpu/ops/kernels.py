@@ -575,8 +575,6 @@ def scan_pallas_sharded(mesh, tweak_words, outputs_hi, outputs_lo,
     B must be a multiple of n_devices * block_rows. blockmask: (B //
     block_rows,) int32, nonzero where the block has live rows (lanes are
     sharded contiguously, so global block order == (device, local block))."""
-    import jax.numpy as jnp
-
     B = tweak_words.shape[1]
     ndev = mesh.devices.size
     if B % (ndev * block_rows):
@@ -590,6 +588,17 @@ def scan_pallas_sharded(mesh, tweak_words, outputs_hi, outputs_lo,
     if blockmask is not None:
         args = args + (blockmask,)
     return fn(*args)
+
+
+def live_blockmask(n_live: int, n_blocks: int, block_rows: int):
+    """Block-skip mask for a valid-prefix batch: block i is live iff it
+    starts before the live-row count. Returns None when every block is
+    live (the skip-free kernel variant pipelines better). The single
+    source of the mask rule — the executor, scan_batch_pallas, and (in
+    per-shard device form) parallel.exchange all follow it."""
+    mask = (np.arange(n_blocks, dtype=np.int32) * block_rows
+            < n_live).astype(np.int32)
+    return None if mask.all() else mask
 
 
 def pack_batch_arrays(tweak_blobs, row_valid, outputs_hi, outputs_lo,
@@ -661,14 +670,12 @@ def scan_batch_pallas(tweak_blobs, row_valid, outputs_hi, outputs_lo,
     B = int(tweak_blobs.shape[0])
     planes = pack_batch_arrays(tweak_blobs, row_valid, outputs_hi,
                                outputs_lo, outputs_valid, block_rows)
-    nblocks = planes[0].shape[1] // block_rows
-    bmask = (np.arange(nblocks, dtype=np.int32) * block_rows < B).astype(
-        np.int32)
+    bmask = live_blockmask(B, planes[0].shape[1] // block_rows, block_rows)
     flags = _scan_pallas_call(
         *(jnp.asarray(a) for a in planes), jnp.asarray(digits),
         jnp.asarray(spend_x), jnp.asarray(spend_y),
         jnp.asarray(label_x), jnp.asarray(label_y),
-        comb_table_f32(), jnp.asarray(bmask) if not bmask.all() else None,
+        comb_table_f32(), jnp.asarray(bmask) if bmask is not None else None,
         nlabels=nlabels, block_rows=block_rows)
     return flags[0, :B] != 0
 

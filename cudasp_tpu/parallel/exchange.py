@@ -31,7 +31,7 @@ import functools
 import numpy as np
 import jax
 import jax.numpy as jnp
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 
 from .mesh import DATA_AXIS
 
@@ -39,11 +39,13 @@ from .mesh import DATA_AXIS
 ROW_VALID_BIT = 31     # ovm bit layout: see ops.kernels.pack_batch_arrays
 
 
-def _shard_rebalance(ndev, *arrs):
+def _shard_rebalance(ndev, block_rows, *arrs):
     """Per-shard body: strided all_to_all + valid-first compaction.
 
     arrs: (K_i, L) planes; the LAST one must be the ovm bitmask (1, L)
-    whose bit 31 is row_valid. Returns rebalanced arrs + (1,) live count."""
+    whose bit 31 is row_valid. Returns rebalanced arrs + (1,) live count +
+    (L // block_rows,) live-block mask (computed ON DEVICE so the scan can
+    be dispatched without a host sync on the exchange result)."""
 
     def a2a(x):
         k, L = x.shape
@@ -57,37 +59,43 @@ def _shard_rebalance(ndev, *arrs):
         jnp.int32)
     order = jnp.argsort(1 - valid, stable=True)          # valid lanes first
     arrs = [x[:, order] for x in arrs]
-    return (*arrs, jnp.sum(valid)[None])
+    count = jnp.sum(valid)
+    nb = ovm.shape[1] // block_rows
+    starts = jax.lax.broadcasted_iota(jnp.int32, (nb, 1), 0)[:, 0] * block_rows
+    bmask = (starts < count).astype(jnp.int32)
+    return (*arrs, count[None], bmask)
 
 
 @functools.lru_cache(maxsize=8)
-def _rebalance_fn(mesh, n_arrays):
+def _rebalance_fn(mesh, n_arrays, block_rows):
     lane = P(None, DATA_AXIS)
     fn = jax.shard_map(
-        functools.partial(_shard_rebalance, mesh.devices.size),
+        functools.partial(_shard_rebalance, mesh.devices.size, block_rows),
         mesh=mesh,
         in_specs=(lane,) * n_arrays,
-        out_specs=(lane,) * n_arrays + (P(DATA_AXIS),),
+        out_specs=(lane,) * n_arrays + (P(DATA_AXIS), P(DATA_AXIS)),
         check_vma=False,
     )
     return jax.jit(fn)
 
 
-def rebalance(mesh, *planes):
+def rebalance(mesh, *planes, block_rows: int = 512):
     """Rebalance lane-sharded (K, B) planes over the mesh's data axis.
 
-    The LAST plane must be the (1, B) ovm validity bitmask. Returns the
-    rebalanced planes (valid rows prefixed per shard) and a (ndev,) int32
-    vector of per-shard live-row counts."""
-    out = _rebalance_fn(mesh, len(planes))(*planes)
-    return out[:-1], out[-1]
+    The LAST plane must be the (1, B) ovm validity bitmask. Returns
+    (rebalanced planes (valid rows prefixed per shard), per-shard live-row
+    counts (ndev,) int32, live-block mask (B // block_rows,) int32 — both
+    device-resident; nothing here forces a host sync)."""
+    out = _rebalance_fn(mesh, len(planes), int(block_rows))(*planes)
+    return out[:-2], out[-2], out[-1]
 
 
 def blockmask_from_counts(counts, n_local_blocks: int,
                           block_rows: int) -> np.ndarray:
-    """Per-shard live counts -> global (ndev * n_local_blocks,) int32 block
-    mask for ops.kernels.scan_pallas_sharded (lanes shard contiguously, so
-    global block order is (device, local block))."""
+    """Host-side variant (see ops.kernels.live_blockmask for the shared
+    single-shard rule): per-shard live counts -> global
+    (ndev * n_local_blocks,) int32 block mask (lanes shard contiguously,
+    so global block order is (device, local block))."""
     counts = np.asarray(counts)
     i = np.arange(n_local_blocks) * block_rows
     return (i[None, :] < counts[:, None]).astype(np.int32).reshape(-1)
@@ -106,16 +114,13 @@ def rebalanced_scan(mesh, tweak_words, outputs_hi, outputs_lo, outputs_mask,
     lane order, so callers map matches back through the source planes."""
     from ..ops import kernels as K
 
-    planes, counts = rebalance(
+    planes, _counts, bmask = rebalance(
         mesh, tweak_words, outputs_hi, outputs_lo, src_hi, src_lo,
-        outputs_mask)
+        outputs_mask, block_rows=block_rows)
     tw, oh, ol, shi, slo, ovm = planes
-    B = tw.shape[1]
-    ndev = mesh.devices.size
-    nb_local = B // ndev // block_rows
-    bmask = jnp.asarray(
-        blockmask_from_counts(np.asarray(counts), nb_local, block_rows))
-    bmask = jax.device_put(bmask, NamedSharding(mesh, P(DATA_AXIS)))
+    # bmask is device-resident and mesh-sharded straight out of the
+    # exchange: the scan dispatches with NO host round-trip, so exchange
+    # of batch i+1 genuinely overlaps compute of batch i.
     flags = K.scan_pallas_sharded(
         mesh, tw, oh, ol, ovm, digits, spend_x, spend_y, label_x, label_y,
         comb, bmask, nlabels=nlabels, block_rows=block_rows,

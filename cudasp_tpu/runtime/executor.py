@@ -165,18 +165,14 @@ class BatchExecutor:
                         blobs, b.row_valid, b.outputs_hi,
                         b.outputs_lo, b.outputs_valid, pad_to)
                     dev = tuple(jax.device_put(a, lane_sh) for a in planes)
-                    # valid rows are a prefix of the packed lanes, so block
-                    # i is dead iff it starts at/after the row count —
-                    # padding tiles skip the whole EC pipeline on device.
-                    # Fully-live batches pass None: the skip-free kernel
-                    # variant pipelines a few percent better.
-                    nblocks = planes[0].shape[1] // br
-                    n_live = int(b.row_valid.sum())
-                    mask_np = (np.arange(nblocks) * br < n_live)
-                    if mask_np.all():
-                        bmask = None
-                    else:
-                        bmask = jnp.asarray(mask_np.astype(np.int32))
+                    # valid rows are a prefix of the packed lanes — padding
+                    # tiles skip the whole EC pipeline on device (None for
+                    # fully-live batches: the skip-free variant pipelines
+                    # a few percent better)
+                    bmask = K.live_blockmask(
+                        int(b.row_valid.sum()), planes[0].shape[1] // br, br)
+                    if bmask is not None:
+                        bmask = jnp.asarray(bmask)
                         if mesh is not None:
                             from jax.sharding import (NamedSharding,
                                                       PartitionSpec)

@@ -150,6 +150,47 @@ def test_scan_stream_checkpoint_resume():
     assert res2.metrics.rows_in == len(rows) - 4
 
 
+def test_scan_stream_checkpoint_key_mismatch():
+    """Resuming a stream with different query keys must refuse, not
+    silently report the old key's matches."""
+    from cudasp_tpu import scan_stream
+    from cudasp_tpu.runtime.checkpoint import ScanCursor
+    from cudasp_tpu.runtime.errors import BindError
+
+    case = V.CASES[0]
+    rows = case.rows
+    chunk = {"height": [r.height for r in rows],
+             "tweak_key": [r.tweak_blob for r in rows],
+             "outputs": [list(r.outputs) for r in rows]}
+    cur = ScanCursor()
+    scan_stream(iter([chunk]), case.scan_key_blob, case.spend_blob,
+                case.label_blobs, checkpoint=cur)
+    assert cur.query_digest
+    wrong = bytes([case.scan_key_blob[0] ^ 1]) + case.scan_key_blob[1:]
+    with pytest.raises(BindError):
+        scan_stream(iter([chunk]), wrong, case.spend_blob,
+                    case.label_blobs, checkpoint=cur)
+
+
+def test_max_outputs_capped_at_30():
+    """ScanConfig(max_outputs=31) must not die in the packer: the plane
+    width clamps to 30 (bits 30/31 are parity/row_valid) and wider lists
+    split into virtual rows."""
+    from cudasp_tpu import ScanConfig
+
+    case = V.CASES[0]
+    row = case.rows[0]
+    outs = list(range(1000, 1032)) + [row.outputs[0]]      # 33 values
+    res = scan(
+        {"height": [row.height],
+         "tweak_key": [row.tweak_blob],
+         "outputs": [outs]},
+        case.scan_key_blob, case.spend_blob, (),
+        config=ScanConfig(max_outputs=31),
+    )
+    assert len(res) == 1
+
+
 def test_cli_scan_parquet_stream(tmp_path):
     """CLI --stream: chunked parquet read, same matches as whole-table."""
     import pyarrow.parquet as pq

@@ -38,13 +38,17 @@ def test_rebalance_counts_and_rows():
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     lane = NamedSharding(mesh, P(None, "data"))
-    planes, counts = X.rebalance(
-        mesh, *(jax.device_put(a, lane) for a in (tw, oh, ovm)))
+    planes, counts, bmask = X.rebalance(
+        mesh, *(jax.device_put(a, lane) for a in (tw, oh, ovm)),
+        block_rows=32)
     counts = np.asarray(counts)
     total = int(live.sum())
     # balance: every shard within ±ndev of the mean
     assert counts.sum() == total
     assert counts.max() - counts.min() <= 8
+    # device-computed block mask matches the host-side rule
+    assert np.array_equal(np.asarray(bmask),
+                          X.blockmask_from_counts(counts, 2, 32))
 
     rtw, roh, rovm = (np.asarray(a) for a in planes)
     # valid-prefix invariant per shard
