@@ -113,6 +113,20 @@ def test_random_keys_fuzz_vs_oracle():
         assert got == [i for i, e in enumerate(expect) if e], f"trial {trial}"
 
 
+def test_empty_outputs_rows_never_match():
+    """Rows with empty outputs lists are dropped before packing (they can
+    never match — reference scans them linearly to the same effect)."""
+    case = V.CASES[0]
+    row = case.rows[0]
+    res = scan(
+        {"height": [row.height, row.height],
+         "tweak_key": [row.tweak_blob, row.tweak_blob],
+         "outputs": [[], list(row.outputs)]},
+        case.scan_key_blob, case.spend_blob, (),
+    )
+    assert res.indices.tolist() == [1]
+
+
 def test_empty_table():
     table = {
         "height": np.zeros(0, np.int32),
