@@ -125,6 +125,8 @@ def test_empty_outputs_rows_never_match():
         case.scan_key_blob, case.spend_blob, (),
     )
     assert res.indices.tolist() == [1]
+    # the drop happens BEFORE packing: only one virtual row was scanned
+    assert res.metrics.rows_scanned == 1
 
 
 def test_empty_table():
@@ -135,6 +137,30 @@ def test_empty_table():
     }
     res = scan(table, V.SCAN_KEY_GECC, V.SPEND_GECC, ())
     assert len(res) == 0
+
+
+def test_adversarial_keys_and_points_no_crash():
+    """Degenerate queries the reference leaves as UB must be defined here:
+    scan_key = 0 and scan_key = n (both send every ECDH to infinity) and an
+    off-curve tweak point produce zero matches, never a crash."""
+    from cudasp_tpu.oracle import ec as O
+    from cudasp_tpu.oracle.encoding import point_to_blob64, scalar_to_blob32
+
+    case = V.CASES[0]
+    row = case.rows[0]
+    off_curve = bytes(range(64))            # x/y almost surely off-curve
+    table = {
+        "height": [1, 2],
+        "tweak_key": [row.tweak_blob, off_curve],
+        "outputs": [list(row.outputs), [123, 456]],
+    }
+    for k in (0, O.N):
+        res = scan(table, scalar_to_blob32(k), case.spend_blob, ())
+        assert len(res) == 0
+    # valid key + off-curve tweak: the good row still matches, the garbage
+    # row never does
+    res = scan(table, case.scan_key_blob, case.spend_blob, ())
+    assert res.indices.tolist() == [0]
 
 
 def test_bind_validation():
