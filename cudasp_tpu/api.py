@@ -49,7 +49,8 @@ class ScanResult:
     indices: np.ndarray             # (m,) int64 row indices into the input
     txid: Optional[np.ndarray]
     height: Optional[np.ndarray]
-    tweak_key: Optional[np.ndarray]
+    tweak_key: Optional[np.ndarray]  # None on resumed streams (see
+    #                                  scan_stream: prior-run rows are gone)
     metrics: Optional[ScanMetrics] = None
 
     def __len__(self) -> int:
@@ -222,16 +223,16 @@ def scan_stream(
             # covered prefix's matches/metrics belong to the prior run
             idx = idx[idx >= covered]
         idx_parts.append(idx + offset)
-        if res.txid is not None:
-            txid_parts.append(np.asarray(res.txid, dtype=object))
-        if res.height is not None:
-            height_parts.append(np.asarray(res.height))
-        tweak_parts.append(res.tweak_key)
+        if not resumed:       # a resumed run returns no passthrough columns
+            if res.txid is not None:
+                txid_parts.append(np.asarray(res.txid, dtype=object))
+            if res.height is not None:
+                height_parts.append(np.asarray(res.height))
+            tweak_parts.append(res.tweak_key)
         if agg is not None and res.metrics is not None:
-            agg.rows_in += res.metrics.rows_in - covered
+            agg.rows_in += res.metrics.rows_in
             agg.rows_scanned += res.metrics.rows_scanned
             agg.batches += res.metrics.batches
-            agg.matches += len(idx)
             agg.pack_seconds += res.metrics.pack_seconds
             agg.device_seconds += res.metrics.device_seconds
             agg.total_seconds += res.metrics.total_seconds
@@ -241,17 +242,20 @@ def scan_stream(
             checkpoint.matches.extend(idx_parts[-1].tolist())
     cat = (np.concatenate(idx_parts) if idx_parts
            else np.zeros(0, np.int64))
+    if agg is not None:
+        agg.matches = len(cat)
     if resumed:
         # fold previously-found matches back in; passthrough columns would
         # misalign with indices from a prior process, so a RESUMED stream
-        # returns indices + metrics only (a fresh run with a cursor keeps
-        # its passthrough columns)
+        # returns indices + metrics only (all passthroughs None; a fresh
+        # run that merely carries a cursor keeps its passthrough columns)
         if checkpoint.matches:
             cat = np.unique(np.concatenate(
                 [cat, np.asarray(checkpoint.matches, np.int64)]))
+        if agg is not None:
+            agg.matches = len(cat)
         return ScanResult(indices=cat, txid=None, height=None,
-                          tweak_key=np.zeros((0, 64), np.uint8),
-                          metrics=agg)
+                          tweak_key=None, metrics=agg)
     return ScanResult(
         indices=cat,
         txid=np.concatenate(txid_parts) if txid_parts else None,

@@ -20,10 +20,11 @@ Normal form invariant ("mulsafe"): limbs 0..18 in [0, ~8300], limb 19
 (< p, unique) form at serialization/comparison points.
 
 Reduction is LAZY: add/sub/neg cost exactly two carry-style passes
-(_fold256 + one carry) instead of a full normalization, and fused helpers
-(sub2, lincomb-style lines in the EC formulas) fold several +- terms into
-one such pass pair. The serial pass count — not the element count — is
-what the VPU latency chain is made of, so passes are the budget.
+(_fold256 + one carry) instead of a full normalization, and the fused
+product+epilogue family (mul_sub, sqr_sub2_dbl, ...) folds the EC
+formulas' +- lines into the producer's reduce tail for free. The serial
+pass count — not the element count — is what the VPU latency chain is
+made of, so passes are the budget.
 
 Broadcasting: shapes (NLIMBS, 1) and (NLIMBS, B) mix freely, so shared
 per-query constants (spend key, labels) stay unexpanded.
@@ -234,7 +235,7 @@ def _reduce_cols(cols: jnp.ndarray, post=None) -> jnp.ndarray:
       fold20       (20,B)  limbs <= 4.2e8 (rows 0..5), rest <= 24.9k
       [post]       optional fused epilogue, see below
       fold256      strips top-limb bits >= 2^9
-      carry        limbs <= 104k
+      carry        limbs <= 112k (post cap 8.5e8 -> 8191 + 8.5e8/2^13)
       fold256      e <= 1
       carry        limbs <= 8205, top < 2^10     -> mulsafe
 
@@ -290,35 +291,9 @@ def mul_small(a: jnp.ndarray, c: int) -> jnp.ndarray:
 # instead of chaining 2-3 two-pass ops. Borrow-proofness per line is
 # guaranteed by the slack of the matching D constant (limbs audited:
 # every per-limb sum stays < 2^31 and every D - x term >= 0).
-
-
-def sub2(a: jnp.ndarray, b: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
-    """a - b - c (mod p)."""
-    d8 = _d8_col()
-    return _lazy(a + (d8 - b) + (d8 - c))
-
-
-def dbl_sub2(t: jnp.ndarray, a: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
-    """2*(t - a - c) (mod p)."""
-    d8 = _d8_col()
-    s = t + (d8 - a) + (d8 - c)
-    return _lazy(s + s)
-
-
-def sub_dbl(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """a - 2b (mod p): b doubled needs the slack-3 subtrahend."""
-    return _lazy(a + (_literal_col(D16_3_LIMBS) - (b + b)))
-
-
-def sub2_dbl(a: jnp.ndarray, b: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
-    """a - b - 2c (mod p)."""
-    return _lazy(a + (_d8_col() - b)
-                 + (_literal_col(D16_3_LIMBS) - (c + c)))
-
-
-def sub_scaled8(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """a - 8b (mod p): 8b limbs <= 8*8400 < 9*BASE -> slack-9 subtrahend."""
-    return _lazy(a + (_literal_col(D16_9_LIMBS) - b * 8))
+# (The standalone dbl_sub2/sub_dbl/sub2_dbl/sub_scaled8 helpers were
+# superseded by the fused product+epilogue family below, which folds the
+# same lines into the producer's reduce tail, and were removed.)
 
 
 _GROUP = 4                       # limbs per accumulation group in mul/sqr

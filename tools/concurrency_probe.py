@@ -39,9 +39,15 @@ def main():
     table = {"tweak_key": tweaks, "outputs": (flat, offsets)}
     expect = np.flatnonzero(is_match)
 
+    errors = []
+
     def one():
-        res = scan(table, V.SCAN_KEY_BIP352, V.SPEND_BIP352, [])
-        assert np.array_equal(np.asarray(res.indices), expect)
+        try:
+            res = scan(table, V.SCAN_KEY_BIP352, V.SPEND_BIP352, [])
+            assert np.array_equal(np.asarray(res.indices), expect)
+        except BaseException as e:            # noqa: BLE001
+            errors.append(e)
+            raise
 
     one()                                     # warm (compile)
     t0 = time.perf_counter()
@@ -56,6 +62,8 @@ def main():
     for t in ths:
         t.join()
     conc = time.perf_counter() - t0
+    if errors:
+        raise SystemExit(f"tenant scan failed/inexact: {errors[0]!r}")
     agg = args.tenants * args.rows / conc
     print(f"{args.tenants} concurrent: {conc:.2f}s  {agg:,.0f} tx/s aggregate "
           f"({agg/(args.rows/serial):.2f}x single)")
