@@ -31,6 +31,11 @@ class ScanConfig:
     fused: bool = False             # single-program pipeline variant
     backend: str = "auto"           # "pallas" (TPU kernel) | "xla" | "auto"
     collect_metrics: bool = True
+    # Route mesh batches through the device-side all_to_all exchange
+    # (parallel.exchange) so skewed per-shard row counts even out before EC
+    # compute. Pays an exchange per batch; worth it when data placement is
+    # fixed/skewed, off for hash-balanced ingest. Pallas + mesh only.
+    rebalance: bool = False
     # Internal device-batch tile. Fixed so the device compiles one program
     # shape regardless of table size; multiple tiles stream through the
     # executor's async-dispatch window. None = auto per backend (the Pallas
@@ -112,6 +117,20 @@ def _normalize_outputs(col) -> Tuple[np.ndarray, np.ndarray]:
     return ingest.outputs_to_csr(
         [[] if o is None else [v for v in o if v is not None]
          for o in col])
+
+
+def _slice_col(col, a: int, b: int):
+    """Rows [a, b) of a column of any supported type (numpy, list, pyarrow
+    array, CSR outputs tuple). Shared by scan_stream's mid-chunk resume and
+    runtime.checkpoint's chunker."""
+    if isinstance(col, tuple) and len(col) == 2:        # CSR outputs
+        flat, offs = col
+        offs = np.asarray(offs, np.int64)
+        flat = np.asarray(flat, np.int64)
+        return (flat[offs[a]:offs[b]], offs[a:b + 1] - offs[a])
+    if hasattr(col, "slice"):                           # pyarrow
+        return col.slice(a, b - a)
+    return col[a:b]
 
 
 def _table_columns(table) -> Dict[str, object]:
@@ -203,11 +222,13 @@ def scan_stream(
     txid_parts, height_parts, tweak_parts = [], [], []
     agg = ScanMetrics() if (config is None or config.collect_metrics) else None
     offset = 0
+    pt_schema = None       # (has txid, has height) — must match all chunks
     for chunk in chunks:
         if hasattr(chunk, "schema") and hasattr(chunk, "column"):
             chunk = {name: chunk.column(i)
                      for i, name in enumerate(chunk.schema.names)}
-        n = len(_table_columns(chunk)["tweak_key"])
+        cols = _table_columns(chunk)
+        n = len(cols["tweak_key"])
         covered = (max(0, min(checkpoint.rows_done - offset, n))
                    if checkpoint is not None else 0)
         if covered >= n:
@@ -215,14 +236,25 @@ def scan_stream(
             # (its matches are already in checkpoint.matches)
             offset += n
             continue
-        res = _scan_impl(chunk, scan_private_key, spend_public_key,
-                         label_keys, config=config)
-        idx = res.indices
         if covered:
-            # cursor landed mid-chunk (different chunking on resume): the
-            # covered prefix's matches/metrics belong to the prior run
-            idx = idx[idx >= covered]
-        idx_parts.append(idx + offset)
+            # cursor landed mid-chunk (different chunking on resume): scan
+            # only the uncovered suffix, so rows_in/rows_scanned and device
+            # work reflect exactly the rows this run is responsible for
+            cols = {name: _slice_col(c, covered, n)
+                    for name, c in cols.items()}
+        res = _scan_impl(cols, scan_private_key, spend_public_key,
+                         label_keys, config=config)
+        # passthrough columns must be all-or-none across the stream, or the
+        # concatenated parts would silently misalign with global indices
+        have = (res.txid is not None, res.height is not None)
+        if pt_schema is None:
+            pt_schema = have
+        elif pt_schema != have:
+            raise IngestError(
+                "heterogeneous chunk schema: txid/height columns must be "
+                f"present in every chunk or in none (saw {pt_schema} then "
+                f"{have})")
+        idx_parts.append(res.indices + offset + covered)
         if not resumed:       # a resumed run returns no passthrough columns
             if res.txid is not None:
                 txid_parts.append(np.asarray(res.txid, dtype=object))
@@ -236,6 +268,9 @@ def scan_stream(
             agg.pack_seconds += res.metrics.pack_seconds
             agg.device_seconds += res.metrics.device_seconds
             agg.total_seconds += res.metrics.total_seconds
+            agg.upload_seconds += res.metrics.upload_seconds
+            agg.upload_bytes += res.metrics.upload_bytes
+            agg.device_wait_seconds += res.metrics.device_wait_seconds
         offset += n
         if checkpoint is not None:
             checkpoint.rows_done = offset
@@ -331,7 +366,8 @@ def _scan_impl(table, scan_private_key, spend_public_key, label_keys=(),
     block_rows = cfg.block_rows or int(
         os.environ.get("CUDASP_BLOCK_ROWS", "512"))
     executor = BatchExecutor(mesh=cfg.mesh, fused=cfg.fused,
-                             backend=cfg.backend, block_rows=block_rows)
+                             backend=cfg.backend, block_rows=block_rows,
+                             rebalance=cfg.rebalance)
     # Pallas tile: 262144 rows/dispatch measured best — wider tiles (1M)
     # degrade sharply on v5e (HBM pressure / grid scheduling), narrower
     # ones pay per-dispatch overhead.

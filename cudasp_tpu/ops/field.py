@@ -56,6 +56,12 @@ FOLD20_HI = 1 << (36 - 2 * LB)   # 1024
 FOLD256_LO = 977
 FOLD256_HI = 1 << (32 - 2 * LB)  # 64
 TOP_BITS = 256 - (NLIMBS - 1) * LB   # bits of limb 19 below 2^256: 9
+# Audited operand bound for mul/sqr inputs ("mulsafe", see module
+# docstring): every 20-term product column must stay < 2^31 in int32, and
+# 20 * MULSAFE_MAX^2 = 1.805e9 < 2^31 = 2.147e9 with ~16% headroom. The
+# lazy-reduction ops (_reduce_cols / _lazy) emit limbs <= ~8300 < this;
+# tests/test_field.py::test_mulsafe_bound_holds fuzzes the invariant.
+MULSAFE_MAX = 9500
 
 
 def int_to_limbs(v: int) -> np.ndarray:
@@ -323,7 +329,9 @@ def _product_cols(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 
 def mul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Full field multiply. Inputs normal form (limbs <= ~10000)."""
+    """Full field multiply. Inputs must be mulsafe: limbs <= MULSAFE_MAX
+    (9500, the audited int32-overflow bound — see module constants). All
+    in-module producers emit <= ~8300; new fused ops must re-audit."""
     return _reduce_cols(_product_cols(a, b))
 
 

@@ -326,7 +326,16 @@ def _scan_block(nlabels, nout, digits_ref,
     The host->device link is this scan's bottleneck (the axon tunnel moves
     ~50 MB/s), so the 64-B reference point blob becomes 32 B on the wire —
     off-curve x rows produce garbage, same contract as the reference's
-    uncompressed ingest (src/cudasp_extension.cu:159-163)."""
+    uncompressed ingest (src/cudasp_extension.cu:159-163).
+
+    GIGO contract for INVALID y (backend divergence, pinned by
+    tests/test_kernels.py::test_pallas_invalid_y_divergence_tpu): a blob
+    whose y is not +-sqrt(x^3+7) scans here as the on-curve point with
+    that x and y's parity — only the parity bit of the uploaded y is ever
+    read — while the xla backend (and the reference, which also ships the
+    full y) computes on the literal off-curve (x, y). Both are garbage-in
+    garbage-out; neither can produce a golden match, but the garbage
+    differs across backends."""
     tw = tw_ref[:]                     # (8, BT) uint32: LE x words
     ovm = ovm_ref[:]                   # (1, BT) uint32 bitmask (see below)
     bx = _limbs_from_words(tw)

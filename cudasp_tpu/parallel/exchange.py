@@ -19,8 +19,11 @@ ACROSS THE MESH before EC compute:
     EC pipeline (ops.kernels block-skip), so freed capacity is real
     wall-time, not masked-out lanes.
 
-Exchange of batch i+1 overlaps compute of batch i through the executor's
-async dispatch window (the role the reference's per-batch CUDA streams
+Production entry point: ``ScanConfig(mesh=..., rebalance=True)`` routes
+every batch of a scan through ``rebalanced_scan`` (runtime.executor
+dispatches it instead of the plain sharded kernel). Because the executor
+keeps a 3-deep async dispatch window, the exchange of batch i+1 overlaps
+the compute of batch i (the role the reference's per-batch CUDA streams
 play for H2D, src/cudasp_gpu.cu:504-510).
 """
 

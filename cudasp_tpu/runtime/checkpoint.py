@@ -77,7 +77,7 @@ def scan_resumable(
     skipped entirely — no packing, no device work."""
     import numpy as np
 
-    from ..api import scan, _table_columns
+    from ..api import scan, _slice_col, _table_columns
 
     digest = _query_digest(scan_private_key, spend_public_key, label_keys)
     if cursor is None:
@@ -91,20 +91,10 @@ def scan_resumable(
     cols = _table_columns(table)
     n = len(cols["tweak_key"])
 
-    def _slice(col, a, b):
-        if hasattr(col, "slice"):              # pyarrow
-            return col.slice(a, b - a)
-        if isinstance(col, tuple):             # CSR outputs
-            flat, offs = col
-            offs = np.asarray(offs, np.int64)
-            return (np.asarray(flat, np.int64)[offs[a]:offs[b]],
-                    offs[a:b + 1] - offs[a])
-        return col[a:b]
-
     while cursor.rows_done < n:
         a = cursor.rows_done
         b = min(a + chunk_rows, n)
-        chunk = {name: _slice(c, a, b) for name, c in cols.items()}
+        chunk = {name: _slice_col(c, a, b) for name, c in cols.items()}
         res = scan(chunk, scan_private_key, spend_public_key, label_keys,
                    config=config)
         cursor.matches.extend((res.indices + a).tolist())

@@ -17,6 +17,7 @@ Two compute backends:
 
 from __future__ import annotations
 
+import os
 from typing import List, Optional, Sequence
 
 import numpy as np
@@ -39,7 +40,8 @@ class BatchExecutor:
     """Runs packed batches on one device or a data-sharded mesh."""
 
     def __init__(self, mesh=None, fused: bool = False,
-                 backend: str = "auto", block_rows: int = 512):
+                 backend: str = "auto", block_rows: int = 512,
+                 rebalance: bool = False):
         # block_rows=512 is the measured v5e sweet spot (256: -7%,
         # 768: -2.5%, 1024: VMEM pressure fails compilation)
         self._shardings = None
@@ -51,6 +53,10 @@ class BatchExecutor:
         self._backend = (_default_backend(mesh)
                          if backend in (None, "auto") else backend)
         self._block_rows = block_rows
+        # rebalance=True routes mesh batches through the device-side
+        # all_to_all exchange (parallel.exchange.rebalanced_scan) so skewed
+        # per-shard row counts even out before EC compute. Pallas+mesh only.
+        self._rebalance = bool(rebalance and mesh is not None)
 
     @property
     def backend(self) -> str:
@@ -121,9 +127,11 @@ class BatchExecutor:
                     label_x, label_y, nlabels, metrics):
         import queue
         import threading
+        import time
 
         import jax.numpy as jnp
 
+        from ..io.ingest import split_outputs_i64
         from ..ops import kernels as K
 
         br = self._block_rows
@@ -137,8 +145,21 @@ class BatchExecutor:
         pad_to = br * ndev            # sharded batches split lanes evenly
         lane_sh = self._shardings.limbs if mesh is not None else None
         interpret = jax.default_backend() == "cpu"
+        rebalance = self._rebalance
+        # Detailed stage attribution costs one tiny D2H sync per batch (to
+        # time the upload truly: on the axon tunnel block_until_ready does
+        # not block), so it only runs when metrics are being emitted.
+        detail = metrics is not None and bool(os.environ.get("CUDASP_METRICS"))
 
         def dispatch(dev, bmask):
+            if rebalance:
+                from ..parallel import exchange
+
+                tw, oh, ol, ovm, shi, slo = dev
+                return exchange.rebalanced_scan(
+                    mesh, tw, oh, ol, ovm, shi, slo, digits, sx, sy, lx, ly,
+                    comb, nlabels=nlabels, block_rows=br,
+                    interpret=interpret)
             if mesh is None:
                 return K._scan_pallas_call(
                     *dev, digits, sx, sy, lx, ly, comb, bmask,
@@ -153,10 +174,25 @@ class BatchExecutor:
         # src/cudasp_gpu.cu:504-510,609-662; measured 2.4x on the real
         # chip, where uploads otherwise serialize with compute).
         q: "queue.Queue" = queue.Queue(maxsize=3)
+        stop = threading.Event()      # poison flag: consumer died, bail out
+
+        def put(item) -> bool:
+            """Bounded put that aborts when the consumer has stopped (a
+            plain q.put could block forever against a full queue if the
+            consumer raised — VERDICT r1 'feeder-thread shutdown edge')."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def feeder():
             try:
                 for i, b in enumerate(batches):
+                    if stop.is_set():
+                        return
                     blobs = b.tweak_blobs
                     if blobs is None:   # caller packed with layout="xla"
                         raise ValueError(
@@ -164,13 +200,34 @@ class BatchExecutor:
                     planes = K.pack_batch_arrays(
                         blobs, b.row_valid, b.outputs_hi,
                         b.outputs_lo, b.outputs_valid, pad_to)
+                    srcs = b.source_rows
+                    if rebalance:
+                        # source-row planes ride the exchange with their
+                        # rows; flags come back in rebalanced lane order
+                        pad = planes[0].shape[1] - len(srcs)
+                        s64 = np.concatenate(
+                            [srcs, np.full(pad, -1, np.int64)])
+                        shi, slo = split_outputs_i64(s64)
+                        planes = planes + (
+                            np.ascontiguousarray(shi[None]),
+                            np.ascontiguousarray(slo[None]))
+                    t0 = time.perf_counter()
                     dev = tuple(jax.device_put(a, lane_sh) for a in planes)
-                    # valid rows are a prefix of the packed lanes — padding
-                    # tiles skip the whole EC pipeline on device (None for
-                    # fully-live batches: the skip-free variant pipelines
-                    # a few percent better)
-                    bmask = K.live_blockmask(
-                        int(b.row_valid.sum()), planes[0].shape[1] // br, br)
+                    if detail:
+                        # force transfer completion with a tiny D2H read
+                        np.asarray(dev[0][:1, :1])
+                        metrics.upload_seconds += time.perf_counter() - t0
+                        metrics.upload_bytes += sum(a.nbytes for a in planes)
+                    bmask = None
+                    if not rebalance:
+                        # valid rows are a prefix of the packed lanes —
+                        # padding tiles skip the whole EC pipeline on device
+                        # (None for fully-live batches: the skip-free
+                        # variant pipelines a few percent better); the
+                        # rebalanced path derives its mask on device
+                        bmask = K.live_blockmask(
+                            int(b.row_valid.sum()),
+                            planes[0].shape[1] // br, br)
                     if bmask is not None:
                         bmask = jnp.asarray(bmask)
                         if mesh is not None:
@@ -180,11 +237,28 @@ class BatchExecutor:
                             bmask = jax.device_put(
                                 bmask,
                                 NamedSharding(mesh, PartitionSpec("data")))
-                    q.put((i, blobs.shape[0], (dev, bmask), b.source_rows))
+                    if not put((i, blobs.shape[0], (dev, bmask), srcs)):
+                        return
             except Exception as e:                      # noqa: BLE001
-                q.put(e)
+                put(e)
                 return
-            q.put(None)
+            put(None)
+
+        def read_back(entry):
+            """Blocking device->host read of one in-flight result."""
+            n, f, srcs = entry
+            t0 = time.perf_counter()
+            if rebalance:
+                flags, shi, slo = f
+                fl = np.asarray(flags)[0] != 0
+                srcs = ((np.asarray(shi)[0].astype(np.int64) << 32)
+                        | (np.asarray(slo)[0].astype(np.int64)
+                           & 0xFFFFFFFF))
+            else:
+                fl = np.asarray(f)[0, :n] != 0
+            if detail:
+                metrics.device_wait_seconds += time.perf_counter() - t0
+            results.append((fl, srcs))
 
         th = threading.Thread(target=feeder, daemon=True)
         timer = Timer()
@@ -207,12 +281,24 @@ class BatchExecutor:
                     raise ExecutionError(i, e) from e
                 in_flight.append((n, flags, srcs))
                 while len(in_flight) > 3:
-                    n, f, srcs = in_flight.pop(0)
-                    results.append((np.asarray(f)[0, :n] != 0, srcs))
-            for n, f, srcs in in_flight:
-                results.append((np.asarray(f)[0, :n] != 0, srcs))
+                    read_back(in_flight.pop(0))
+            for entry in in_flight:
+                read_back(entry)
         finally:
-            th.join(timeout=60.0)
+            stop.set()
+            # a feeder blocked on a full queue unblocks within one put
+            # timeout once drained; join must not mask a stuck thread
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+            th.join(timeout=10.0)
+            if th.is_alive():         # pragma: no cover - defensive
+                import sys
+
+                if sys.exc_info()[0] is None:    # don't mask a live error
+                    raise RuntimeError("feeder thread failed to shut down")
         if metrics is not None:
             metrics.device_seconds += timer.lap()
             metrics.batches += nb

@@ -19,6 +19,25 @@ class ScanMetrics:
     total_seconds: float = 0.0
     batch_size: int = 0
     n_devices: int = 1
+    # Stage attribution (populated when CUDASP_METRICS is set — timing the
+    # upload needs a per-batch D2H sync, see executor._run_pallas):
+    #   pack_seconds        host packing (feeder thread)
+    #   upload_seconds      H2D transfer, measured to completion
+    #   device_wait_seconds consumer time blocked on flag readback
+    # pack+upload run on the feeder thread and overlap device compute, so
+    # the three do NOT sum to total_seconds; the LARGEST of
+    # (pack+upload, device_wait) names the bottleneck (`bottleneck`).
+    upload_seconds: float = 0.0
+    upload_bytes: int = 0
+    device_wait_seconds: float = 0.0
+
+    @property
+    def bottleneck(self) -> str:
+        host = self.pack_seconds + self.upload_seconds
+        if not (host or self.device_wait_seconds):
+            return "unknown"
+        return "host(pack+upload)" if host > self.device_wait_seconds \
+            else "device"
 
     @property
     def rows_per_second(self) -> float:
@@ -27,6 +46,7 @@ class ScanMetrics:
     def as_dict(self) -> Dict:
         d = dict(self.__dict__)
         d["rows_per_second"] = self.rows_per_second
+        d["bottleneck"] = self.bottleneck
         return d
 
 

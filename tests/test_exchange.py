@@ -80,6 +80,45 @@ _SLOW = pytest.mark.skipif(
     reason="interpret-mode sharded kernel run is slow; CUDASP_SLOW_TESTS=1")
 
 
+def test_executor_rebalanced_path_glue(monkeypatch):
+    """scan(config=ScanConfig(mesh=..., rebalance=True)) routes batches
+    through the exchange: the REAL all_to_all + compaction runs on the
+    8-device mesh with a stub in place of the Pallas kernel (every live
+    row 'matches'), proving source-row indices survive the exchange and
+    map back correctly through the executor and the api."""
+    import jax.numpy as jnp
+
+    from cudasp_tpu import scan
+    from cudasp_tpu.api import ScanConfig
+    from cudasp_tpu.oracle import vectors as V
+    from cudasp_tpu.ops import kernels as K
+
+    def stub(tw, oh, ol, ovm, digits, sx, sy, lx, ly, comb, blockmask=None,
+             *, nlabels, block_rows, interpret=False):
+        return ((ovm >> 31) & 1).astype(jnp.int8)     # live rows match
+
+    monkeypatch.setattr(K, "_scan_pallas_call", stub)
+    K._sharded_scan_fn.cache_clear()
+    try:
+        mesh = make_mesh(8)
+        case = V.CASES[0]
+        n = 300                      # ragged: forces padding + rebalance
+        rows = case.rows
+        table = {
+            "tweak_key": np.stack(
+                [np.frombuffer(rows[j % len(rows)].tweak_blob, np.uint8)
+                 for j in range(n)]),
+            "outputs": [list(rows[j % len(rows)].outputs)
+                        for j in range(n)],
+        }
+        cfg = ScanConfig(mesh=mesh, backend="pallas", rebalance=True,
+                         block_rows=64, tile=1024)
+        res = scan(table, case.scan_key_blob, case.spend_blob, config=cfg)
+        assert res.indices.tolist() == list(range(n))
+    finally:
+        K._sharded_scan_fn.cache_clear()
+
+
 @_SLOW
 def test_rebalanced_scan_interpret():
     """End-to-end: skewed shards -> all_to_all rebalance -> block-skipped

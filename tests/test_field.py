@@ -123,7 +123,39 @@ def test_inv_chain(results):
 
 
 def test_limb_bounds_mul_safe(results):
-    assert int(results["chain_limb_max"]) <= 10000
+    assert int(results["chain_limb_max"]) <= F.MULSAFE_MAX
+
+
+def test_mulsafe_bound_holds():
+    """Fuzz the mulsafe invariant (field.MULSAFE_MAX): every producer op's
+    output limbs must stay within the audited mul/sqr input bound, across
+    chained random inputs — the overflow-protection check ADVICE.md asked
+    for (int32 column sums reach 20*limb^2, so limbs > MULSAFE_MAX would
+    silently wrap)."""
+    rng = random.Random(99)
+    vals = [rng.randrange(P) for _ in range(64)]
+    a = jnp.asarray(F.pack_ints(vals))
+
+    @jax.jit
+    def chain_max(a):
+        outs = []
+        x = a
+        for _ in range(4):           # deep chain: bounds must not grow
+            y = F.add(x, a)
+            z = F.sub(x, y)
+            w = F.mul(y, z)
+            v = F.sqr(w)
+            u = F.mul_sub(v, w, z)
+            t = F.sqr_sub2_dbl(u, v, w)
+            s = F.neg(F.mul_small(t, 8))
+            outs += [y, z, w, v, u, t, s]
+            x = s
+        return jnp.max(jnp.stack([jnp.max(o[:-1]) for o in outs])), \
+            jnp.max(jnp.stack([jnp.max(o[-1]) for o in outs]))
+
+    body_max, top_max = chain_max(a)
+    assert int(body_max) <= F.MULSAFE_MAX
+    assert int(top_max) < 2**13
 
 
 def test_is_zero(results):

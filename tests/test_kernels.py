@@ -161,6 +161,34 @@ def test_pallas_golden_parity_tpu():
     assert np.array_equal(flags, expect)
 
 
+@pytest.mark.skipif(jax.default_backend() == "cpu",
+                    reason="Pallas TPU kernel requires TPU hardware")
+def test_pallas_invalid_y_divergence_tpu():
+    """Pins the documented GIGO contract for invalid-y blobs on the Pallas
+    path (ops/kernels._scan_block docstring): only the parity bit of the
+    uploaded y is read, so a blob with a corrupted y (same parity) scans
+    identically to the honest on-curve blob — unlike the xla backend,
+    which computes on the literal off-curve (x, y)."""
+    from cudasp_tpu.oracle import vectors as V
+    from cudasp_tpu.ops.kernels import scan_batch_pallas
+
+    case = V.CASES[0]
+    B = 256
+    (tweaks, oh, ol, ov, expect,
+     sx, sy, lx, ly, nl, digits) = _kernel_case_arrays(case, B)
+    bad = tweaks.copy()
+    # corrupt y's high bytes, preserving the parity byte (LE: byte 32)
+    bad[:, 40:64] ^= 0xFF
+    flags_good = np.asarray(scan_batch_pallas(
+        tweaks, np.ones(B, bool), oh, ol, ov, digits, sx, sy, lx, ly,
+        nlabels=nl))
+    flags_bad = np.asarray(scan_batch_pallas(
+        bad, np.ones(B, bool), oh, ol, ov, digits, sx, sy, lx, ly,
+        nlabels=nl))
+    assert np.array_equal(flags_good, expect)
+    assert np.array_equal(flags_bad, flags_good)
+
+
 import os
 
 _SLOW = pytest.mark.skipif(

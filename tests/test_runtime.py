@@ -101,6 +101,88 @@ def test_concurrent_queries():
     assert not errors, errors
 
 
+def test_executor_error_path_shutdown(monkeypatch):
+    """A dispatch failure mid-stream must surface promptly as
+    ExecutionError and leave no live feeder thread — even while the feeder
+    is blocked on a full queue (VERDICT r1: the old path could leak the
+    thread for up to 60 s)."""
+    import time
+
+    from cudasp_tpu.io import ingest
+    from cudasp_tpu.ops import kernels as K
+    from cudasp_tpu.runtime.errors import ExecutionError
+    from cudasp_tpu.runtime.executor import BatchExecutor
+
+    case = V.CASES[0]
+    n = 16 * 128          # 16 batches of 128: plenty to fill the queue
+    blobs = np.tile(np.frombuffer(case.rows[0].tweak_blob, np.uint8),
+                    (n, 1))
+    flat = np.arange(3 * n, dtype=np.int64)
+    offsets = np.arange(n + 1, dtype=np.int64) * 3
+    batches = ingest.iter_packed(blobs, flat, offsets, batch_size=128,
+                                 max_outputs=3, layout="kernel")
+    w, sx, sy, lx, ly, nl = ingest.pack_query_keys(
+        case.scan_key_blob, case.spend_blob, [])
+
+    def boom(*a, **k):
+        raise RuntimeError("injected dispatch failure")
+
+    monkeypatch.setattr(K, "_scan_pallas_call", boom)
+    ex = BatchExecutor(backend="pallas", block_rows=128)
+    before = {t.ident for t in threading.enumerate()}
+    t0 = time.perf_counter()
+    with pytest.raises(ExecutionError):
+        ex.run(batches, w, sx, sy, lx, ly, nl)
+    assert time.perf_counter() - t0 < 30.0, "error path stalled"
+    for _ in range(50):              # feeder exits within one put timeout
+        leaked = [t for t in threading.enumerate()
+                  if t.ident not in before]
+        if not leaked:
+            break
+        import time as _t
+        _t.sleep(0.1)
+    assert not leaked, f"feeder thread leaked: {leaked}"
+
+
+def test_scan_stream_heterogeneous_schema_raises():
+    """Chunks must agree on passthrough columns (all-or-none), or the
+    concatenated txid/height parts would misalign with global indices."""
+    from cudasp_tpu import scan_stream
+    from cudasp_tpu.runtime.errors import IngestError
+
+    case = V.CASES[0]
+    t1, _ = _big_table(case, 40)
+    t2 = {k: v for k, v in _big_table(case, 40)[0].items()
+          if k != "height"}
+    with pytest.raises(IngestError, match="heterogeneous"):
+        scan_stream(iter([t1, t2]), case.scan_key_blob, case.spend_blob)
+
+
+def test_scan_stream_midchunk_resume_counts_uncovered_only(tmp_path):
+    """On a mid-chunk resume only the uncovered suffix is scanned: metrics
+    count those rows alone and indices stay globally correct."""
+    from cudasp_tpu import scan_stream
+    from cudasp_tpu.runtime.checkpoint import ScanCursor
+
+    case = V.CASES[0]
+    table, expect = _big_table(case, 300)
+
+    def chunks():
+        for a in range(0, 300, 100):
+            yield {k: v[a:a + 100] for k, v in table.items()}
+
+    # prior run covered 150 rows (mid-chunk for the 100-row chunking) and
+    # recorded its matches
+    prior = [i for i in expect if i < 150]
+    cur = ScanCursor(rows_done=150, matches=list(prior))
+    res = scan_stream(chunks(), case.scan_key_blob, case.spend_blob,
+                      checkpoint=cur)
+    assert res.indices.tolist() == expect
+    # chunk 1 skipped entirely, chunk 2 sliced to its last 50 rows
+    assert res.metrics.rows_in == 150
+    assert res.metrics.rows_scanned <= 150
+
+
 def test_metrics_emission(monkeypatch, capsys):
     monkeypatch.setenv("CUDASP_METRICS", "1")
     case = V.CASES[0]
