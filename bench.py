@@ -68,6 +68,13 @@ def main():
 
     import os
 
+    if args.platform == "cpu":
+        # XLA:CPU's new fusion emitters deadlock on this code's deep int32
+        # chains (see conftest.py / __graft_entry__.py); TPU is unaffected
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_cpu_use_fusion_emitters" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + " --xla_cpu_use_fusion_emitters=false").strip()
     if args.platform:
         os.environ["JAX_PLATFORMS"] = args.platform
         import jax

@@ -52,10 +52,9 @@ class ScanResult:
     """Matching rows, in input order (deterministic, unlike the reference's
     batch-completion order, src/cudasp_extension.cu:384-390)."""
     indices: np.ndarray             # (m,) int64 row indices into the input
-    txid: Optional[np.ndarray]
-    height: Optional[np.ndarray]
-    tweak_key: Optional[np.ndarray]  # None on resumed streams (see
-    #                                  scan_stream: prior-run rows are gone)
+    txid: Optional[np.ndarray]      # None when the input had no txid column
+    height: Optional[np.ndarray]    # (or on resume from a legacy cursor
+    tweak_key: Optional[np.ndarray]  # without persisted match_rows)
     metrics: Optional[ScanMetrics] = None
 
     def __len__(self) -> int:
@@ -203,9 +202,13 @@ def scan_stream(
     (chunks already covered by the cursor are skipped without scanning).
 
     Returns one aggregated ScanResult with indices global to the stream.
-    On an actual RESUME (the cursor already covered rows), passthrough
-    columns are None — rows matched by a prior process are gone — and the
-    cursor's matches fold into the returned indices."""
+    On an actual RESUME (the cursor already covered rows), the prior run's
+    matched rows are reconstructed from the cursor's persisted match_rows,
+    so the result carries the same full txid/height/tweak_key columns as a
+    fresh run (the reference always emits all three,
+    src/cudasp_extension.cu:595-621). Only when resuming from a legacy
+    cursor without persisted rows do the passthrough columns fall back to
+    None (indices + metrics stay exact)."""
     from .runtime.checkpoint import _query_digest
 
     if checkpoint is not None:
@@ -217,6 +220,10 @@ def scan_stream(
                 "mismatch); refusing to resume")
         checkpoint.query_digest = digest
     resumed = checkpoint is not None and checkpoint.rows_done > 0
+    # snapshot BEFORE the loop extends cursor.matches: these are the
+    # indices whose rows must come from the cursor, not this run
+    prior_matches = (sorted({int(m) for m in checkpoint.matches})
+                     if resumed else [])
 
     idx_parts: List[np.ndarray] = []
     txid_parts, height_parts, tweak_parts = [], [], []
@@ -255,12 +262,11 @@ def scan_stream(
                 f"present in every chunk or in none (saw {pt_schema} then "
                 f"{have})")
         idx_parts.append(res.indices + offset + covered)
-        if not resumed:       # a resumed run returns no passthrough columns
-            if res.txid is not None:
-                txid_parts.append(np.asarray(res.txid, dtype=object))
-            if res.height is not None:
-                height_parts.append(np.asarray(res.height))
-            tweak_parts.append(res.tweak_key)
+        if res.txid is not None:
+            txid_parts.append(np.asarray(res.txid, dtype=object))
+        if res.height is not None:
+            height_parts.append(np.asarray(res.height))
+        tweak_parts.append(res.tweak_key)
         if agg is not None and res.metrics is not None:
             agg.rows_in += res.metrics.rows_in
             agg.rows_scanned += res.metrics.rows_scanned
@@ -275,28 +281,83 @@ def scan_stream(
         if checkpoint is not None:
             checkpoint.rows_done = offset
             checkpoint.matches.extend(idx_parts[-1].tolist())
+            checkpoint.record_rows(idx_parts[-1], res.txid, res.height,
+                                   res.tweak_key)
     cat = (np.concatenate(idx_parts) if idx_parts
            else np.zeros(0, np.int64))
     if agg is not None:
         agg.matches = len(cat)
     if resumed:
-        # fold previously-found matches back in; passthrough columns would
-        # misalign with indices from a prior process, so a RESUMED stream
-        # returns indices + metrics only (all passthroughs None; a fresh
-        # run that merely carries a cursor keeps its passthrough columns)
-        if checkpoint.matches:
-            cat = np.unique(np.concatenate(
-                [cat, np.asarray(checkpoint.matches, np.int64)]))
-        if agg is not None:
-            agg.matches = len(cat)
-        return ScanResult(indices=cat, txid=None, height=None,
-                          tweak_key=None, metrics=agg)
+        return _merge_resumed(cat, prior_matches, checkpoint, pt_schema,
+                              txid_parts, height_parts, tweak_parts, agg)
     return ScanResult(
         indices=cat,
         txid=np.concatenate(txid_parts) if txid_parts else None,
         height=np.concatenate(height_parts) if height_parts else None,
         tweak_key=(np.concatenate(tweak_parts) if tweak_parts
                    else np.zeros((0, 64), np.uint8)),
+        metrics=agg,
+    )
+
+
+def _merge_resumed(cat, prior_matches, checkpoint, pt_schema,
+                   txid_parts, height_parts, tweak_parts, agg) -> ScanResult:
+    """Fold a prior run's matches into this run's, rebuilding the full
+    passthrough columns from the cursor's persisted match_rows. Falls back
+    to index-only columns (the pre-r2 contract) when the cursor predates
+    row persistence."""
+    prior = np.asarray(prior_matches, np.int64)
+    all_idx = (np.unique(np.concatenate([cat, prior]))
+               if len(cat) + len(prior) else np.zeros(0, np.int64))
+    if agg is not None:
+        agg.matches = len(all_idx)
+    prior_rows = checkpoint.take_rows(prior_matches)
+    if prior_rows is None:
+        # legacy/foreign cursor without persisted rows
+        return ScanResult(indices=all_idx, txid=None, height=None,
+                          tweak_key=None, metrics=agg)
+    ptx, phh, ptw = prior_rows
+
+    def _presence(vals, what):
+        nn = sum(v is not None for v in vals)
+        if nn == 0:
+            return False
+        if nn == len(vals):
+            return True
+        raise IngestError(
+            f"resumed cursor has mixed {what} presence in match_rows")
+
+    if prior_matches:
+        prior_schema = (_presence(ptx, "txid"), _presence(phh, "height"))
+        if pt_schema is not None and pt_schema != prior_schema:
+            raise IngestError(
+                "resumed stream schema mismatch: the prior run recorded "
+                f"passthrough columns {prior_schema}, this run saw "
+                f"{pt_schema} (txid, height)")
+        schema = prior_schema
+    else:
+        schema = pt_schema or (False, False)
+
+    rowmap = {}
+    for k, i in enumerate(prior_matches):
+        rowmap[int(i)] = (ptx[k], phh[k], ptw[k])
+    fresh_tx = np.concatenate(txid_parts) if txid_parts else None
+    fresh_h = np.concatenate(height_parts) if height_parts else None
+    fresh_tw = (np.concatenate(tweak_parts) if tweak_parts
+                else np.zeros((0, 64), np.uint8))
+    for k, i in enumerate(cat):
+        rowmap[int(i)] = (
+            fresh_tx[k] if fresh_tx is not None else None,
+            fresh_h[k] if fresh_h is not None else None,
+            fresh_tw[k])
+    return ScanResult(
+        indices=all_idx,
+        txid=(np.asarray([rowmap[int(i)][0] for i in all_idx], object)
+              if schema[0] else None),
+        height=(np.asarray([rowmap[int(i)][1] for i in all_idx])
+                if schema[1] else None),
+        tweak_key=(np.stack([rowmap[int(i)][2] for i in all_idx])
+                   if len(all_idx) else np.zeros((0, 64), np.uint8)),
         metrics=agg,
     )
 
@@ -419,6 +480,13 @@ def _scan_impl(table, scan_private_key, spend_public_key, label_keys=(),
         col = cols[name]
         if isinstance(col, np.ndarray):
             return col[idx]
+        if isinstance(col, (list, tuple)):
+            # object array, NOT np.asarray: an 'S'-dtype array would strip
+            # trailing NUL bytes from binary txids (passthrough must be
+            # byte-exact, src/cudasp_extension.cu:384-390)
+            arr = np.empty(len(col), object)
+            arr[:] = col
+            return arr[idx]
         arr = np.asarray(col)
         return arr[idx]
 

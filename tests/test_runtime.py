@@ -183,6 +183,71 @@ def test_scan_stream_midchunk_resume_counts_uncovered_only(tmp_path):
     assert res.metrics.rows_scanned <= 150
 
 
+def _chunks_of(table, n, size):
+    for a in range(0, n, size):
+        yield {k: v[a:a + size] for k, v in table.items()}
+
+
+def test_scan_stream_resume_returns_full_columns(tmp_path):
+    """A resumed scan_stream must return the SAME txid/height/tweak_key
+    columns as an unresumed run (the reference always emits all three,
+    src/cudasp_extension.cu:595-621): prior-run rows are reconstructed
+    from the cursor's persisted match_rows."""
+    from cudasp_tpu import scan_stream
+    from cudasp_tpu.runtime.checkpoint import ScanCursor
+
+    case = V.CASES[0]
+    table, expect = _big_table(case, 300)
+    table["txid"] = [bytes([j % 256, j // 256]) for j in range(300)]
+
+    fresh = scan_stream(_chunks_of(table, 300, 100),
+                        case.scan_key_blob, case.spend_blob)
+    assert fresh.indices.tolist() == expect
+
+    # run 1 'crashes' after 2 of 3 chunks; the cursor persists to disk
+    ckpt = str(tmp_path / "cursor.json")
+    cur = ScanCursor()
+    scan_stream(_chunks_of(table, 200, 100), case.scan_key_blob,
+                case.spend_blob, checkpoint=cur)
+    cur.save(ckpt)
+
+    # run 2 resumes from the file (fresh process simulation) over all rows
+    cur2 = ScanCursor.load(ckpt)
+    res = scan_stream(_chunks_of(table, 300, 100), case.scan_key_blob,
+                      case.spend_blob, checkpoint=cur2)
+    assert res.indices.tolist() == fresh.indices.tolist()
+    assert list(res.txid) == list(fresh.txid)
+    assert np.array_equal(res.height, fresh.height)
+    assert np.array_equal(res.tweak_key, fresh.tweak_key)
+
+
+def test_txid_passthrough_byte_exact():
+    """txids with trailing NUL bytes must pass through byte-exact (an
+    'S'-dtype numpy conversion silently strips them; found by a verify
+    drive in r2)."""
+    case = V.CASES[0]
+    table, expect = _big_table(case, 8)
+    table["txid"] = [bytes([j]) + b"\x00\x00" for j in range(8)]
+    res = scan(table, case.scan_key_blob, case.spend_blob, ())
+    assert [bytes(t) for t in res.txid] == [table["txid"][i] for i in expect]
+
+
+def test_scan_stream_resume_legacy_cursor_index_only():
+    """Resuming from a cursor WITHOUT persisted match_rows (pre-r2 format)
+    still returns exact indices, with passthrough columns None."""
+    from cudasp_tpu import scan_stream
+    from cudasp_tpu.runtime.checkpoint import ScanCursor
+
+    case = V.CASES[0]
+    table, expect = _big_table(case, 300)
+    prior = [i for i in expect if i < 150]
+    cur = ScanCursor(rows_done=150, matches=list(prior))   # no match_rows
+    res = scan_stream(_chunks_of(table, 300, 150), case.scan_key_blob,
+                      case.spend_blob, checkpoint=cur)
+    assert res.indices.tolist() == expect
+    assert res.txid is None and res.height is None and res.tweak_key is None
+
+
 def test_metrics_emission(monkeypatch, capsys):
     monkeypatch.setenv("CUDASP_METRICS", "1")
     case = V.CASES[0]
