@@ -129,7 +129,49 @@ def main(argv=None) -> int:
                          "bounded host memory (parquet only; for 100M+-row "
                          "tables)")
 
+    sq = sub.add_parser(
+        "sql",
+        help="run SQL (the reference's cudasp_scan dialect) from a file, "
+             "a -e statement, or stdin; .test files run as sqllogictest")
+    sq.add_argument("script", nargs="?",
+                    help="SQL script or sqllogictest .test file "
+                         "(default: read statements from stdin)")
+    sq.add_argument("-e", "--execute", action="append", default=[],
+                    help="execute this statement (repeatable)")
+    sq.add_argument("--engine", default="auto",
+                    choices=["auto", "builtin", "duckdb"],
+                    help="duckdb = bridge through a real DuckDB when the "
+                         "package is importable")
+
     args = ap.parse_args(argv)
+    if args.cmd == "sql":
+        from .sql import make_engine, run_file
+
+        if args.script and args.script.endswith(".test"):
+            report = run_file(args.script, engine=make_engine(args.engine))
+            for f in report.failures:
+                print(f"FAIL {f}", file=sys.stderr)
+            print(f"# {report.statements} statements, {report.queries} "
+                  f"queries, {len(report.failures)} failures",
+                  file=sys.stderr)
+            return 1 if report.failures else 0
+        engine = make_engine(args.engine)
+        statements = list(args.execute)
+        if args.script:
+            with open(args.script) as f:
+                text = f.read()
+            statements += [s for s in text.split(";") if s.strip()]
+        elif not statements:
+            statements = [s for s in sys.stdin.read().split(";")
+                          if s.strip()]
+        for stmt in statements:
+            rows = engine.execute(stmt)
+            if rows is not None:
+                for row in rows:
+                    print("\t".join(
+                        v.hex() if isinstance(v, (bytes, bytearray))
+                        else str(v) for v in row))
+        return 0
     if args.cmd == "scan":
         from . import scan
         from .api import ScanConfig

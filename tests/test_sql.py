@@ -1,0 +1,192 @@
+"""SQL front-end tests: the reference's own sqllogictest file executes
+against the builtin engine (VERDICT item 4).
+
+The authoritative script is /root/reference/test/sql/cudasp.test — the
+reference's complete SQL test suite (run there by DuckDB's unittest
+harness). We execute it directly from the reference checkout when present;
+the golden single-row cases always run, and the 20K/200K-row batching
+sections run verbatim under CUDASP_SLOW_TESTS=1 (CI slow job) or scaled
+down by default.
+"""
+
+import os
+import re
+
+import pytest
+
+from cudasp_tpu.sql import SQLEngine, make_engine, run_file, run_script
+from cudasp_tpu.sql.engine import SQLError, parse_statement
+
+REF_TEST = "/root/reference/test/sql/cudasp.test"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(REF_TEST),
+    reason="reference checkout not present",
+)
+
+
+def _scale_down(sql: str) -> str:
+    """Shrink the reference's 20K/200K-row batching sections so the full
+    script stays CI-fast on CPU; assertions scale with them."""
+    sql = sql.replace("range(20000)", "range(700)")
+    sql = sql.replace("range(200000)", "range(900)")
+    sql = re.sub(r"batch_size\s*:=\s*50000", "batch_size := 256", sql)
+    return sql
+
+
+def _scale_expected(rec_expected):
+    mapping = {"20000": "700", "200000": "900"}
+    return [mapping.get(v, v) for v in rec_expected]
+
+
+def test_reference_suite_scaled():
+    """All 13 queries of the reference's cudasp.test, with the two bulk
+    tables scaled down (expected counts scaled to match)."""
+    from cudasp_tpu.sql import sqllogic
+
+    with open(REF_TEST) as f:
+        text = f.read()
+    records = sqllogic.parse_script(text)
+    for rec in records:
+        if rec.expected:
+            rec.expected = _scale_expected(rec.expected)
+    engine = SQLEngine()
+    report = sqllogic.RunReport()
+    for rec in records:
+        if rec.kind == "require":
+            continue
+        sql = _scale_down(rec.sql)
+        if rec.kind == "statement":
+            engine.execute(sql)
+            report.statements += 1
+            continue
+        rows = engine.execute(sql) or []
+        got = [sqllogic._format_value(v) for row in rows for v in row]
+        assert got == rec.expected, f"line {rec.line}: {sql}\n{got}"
+        report.queries += 1
+    assert report.queries == 13
+    assert report.statements >= 6
+
+
+@pytest.mark.skipif(
+    not os.environ.get("CUDASP_SLOW_TESTS")
+    and not os.environ.get("CUDASP_TEST_PLATFORM", "cpu") != "cpu",
+    reason="verbatim 200K-row run is slow on CPU; set CUDASP_SLOW_TESTS=1",
+)
+def test_reference_suite_verbatim():
+    """The reference's cudasp.test, byte-for-byte unmodified."""
+    report = run_file(REF_TEST)
+    assert report.ok, "\n".join(report.failures)
+    assert report.queries == 13
+
+
+def test_make_engine_builtin_fallback():
+    eng = make_engine("auto")
+    # duckdb is absent in this image -> builtin engine; when present the
+    # DuckDBEngine satisfies the same execute() contract
+    assert hasattr(eng, "execute")
+
+
+def test_engine_basics():
+    e = SQLEngine()
+    e.execute("CREATE TABLE t(a INTEGER, b BIGINT[])")
+    e.execute("INSERT INTO t VALUES (1, [10, -20]), (2, [])")
+    assert e.execute("SELECT COUNT(*) FROM t") == [(2,)]
+    assert e.execute("SELECT a FROM t WHERE a = 2") == [(2,)]
+    assert e.execute("SELECT b FROM t WHERE a = 1") == [([10, -20],)]
+
+
+def test_engine_blob_literals_and_casts():
+    e = SQLEngine()
+    rows = e.execute(r"SELECT BLOB '\x00\x01\xff'")
+    assert rows == [(b"\x00\x01\xff",)]
+    assert e.execute("SELECT CAST([] AS BLOB[])") == [([],)]
+    assert e.execute("SELECT 5::BIGINT") == [(5,)]
+    assert e.execute("SELECT -7") == [(-7,)]
+
+
+def test_engine_create_as_range():
+    e = SQLEngine()
+    e.execute("CREATE TABLE r AS SELECT 3 AS x, [1::BIGINT] AS l "
+              "FROM range(5)")
+    assert e.execute("SELECT COUNT(*) FROM r") == [(5,)]
+    assert e.execute("SELECT x FROM r WHERE x = 3")[:2] == [(3,), (3,)]
+
+
+def test_engine_error_paths():
+    e = SQLEngine()
+    with pytest.raises(SQLError):
+        e.execute("SELECT FROM")
+    with pytest.raises(SQLError):
+        e.execute("SELECT * FROM missing_table")
+    with pytest.raises(SQLError):
+        e.execute("TRUNCATE t")     # unsupported statement
+    e.execute("CREATE TABLE t(a INTEGER)")
+    with pytest.raises(SQLError):
+        e.execute("INSERT INTO t VALUES (1, 2)")   # arity
+
+
+def test_scan_bind_errors_surface_as_sql_errors():
+    """Bad key sizes surface as SQLError, mirroring the reference binder's
+    SQL-level errors (src/cudasp_extension.cu:423-470)."""
+    e = SQLEngine()
+    e.execute("CREATE TABLE d(txid BLOB, height INTEGER, tweak_key BLOB, "
+              "outputs BIGINT[])")
+    with pytest.raises(SQLError, match="32 bytes"):
+        e.execute(r"SELECT COUNT(*) FROM cudasp_scan((SELECT txid, height,"
+                  r" tweak_key, outputs FROM d), BLOB '\x00', BLOB '\x00',"
+                  r" CAST([] AS BLOB[]))")
+
+
+def test_scan_named_batch_size_validation():
+    e = SQLEngine()
+    e.execute("CREATE TABLE d(txid BLOB, height INTEGER, tweak_key BLOB, "
+              "outputs BIGINT[])")
+    key32 = "BLOB '" + r"\x11" * 32 + "'"
+    key64 = "BLOB '" + r"\x22" * 64 + "'"
+    with pytest.raises(SQLError, match="batch_size"):
+        e.execute(f"SELECT COUNT(*) FROM cudasp_scan((SELECT txid, height,"
+                  f" tweak_key, outputs FROM d), {key32}, {key64},"
+                  f" CAST([] AS BLOB[]), batch_size := 0)")
+    with pytest.raises(SQLError, match="unknown named"):
+        e.execute(f"SELECT COUNT(*) FROM cudasp_scan((SELECT txid, height,"
+                  f" tweak_key, outputs FROM d), {key32}, {key64},"
+                  f" CAST([] AS BLOB[]), bogus := 1)")
+
+
+def test_sqllogic_runner_reports_mismatch():
+    script = """
+statement ok
+CREATE TABLE t(a INTEGER)
+
+statement ok
+INSERT INTO t VALUES (1)
+
+query I
+SELECT COUNT(*) FROM t
+----
+2
+"""
+    report = run_script(script)
+    assert not report.ok
+    assert "expected ['2'], got ['1']" in report.failures[0]
+
+
+def test_sqllogic_statement_error_record():
+    script = """
+statement error
+SELECT * FROM nope
+"""
+    report = run_script(script)
+    assert report.ok
+
+
+def test_parse_statement_roundtrip_shapes():
+    s = parse_statement(
+        "SELECT height FROM cudasp_scan((SELECT txid, height, tweak_key, "
+        r"outputs FROM t WHERE height = 400), BLOB '\x00', BLOB '\x01', "
+        r"[BLOB '\x02'], batch_size := 50000)")
+    assert s[0] == "select"
+    src = s[2]
+    assert src[0] == "scan"
+    assert "batch_size" in src[3]
