@@ -45,6 +45,17 @@ class ScanConfig:
     # Pallas kernel lane-tile width (rows per grid step). None = measured
     # default (512 on v5e); CUDASP_BLOCK_ROWS overrides for experiments.
     block_rows: Optional[int] = None
+    # Scalar-ladder schedule for the Pallas kernel: "wnaf" (interleaved
+    # width-5 wNAF, ~43 table adds) or "fixed" (odd-digit fixed windows,
+    # 64 adds). Both are data-driven — changing scan keys never recompiles.
+    # "auto" = wnaf (measured faster). CUDASP_LADDER overrides.
+    ladder: str = "auto"
+    # Batch upload width: "full" (exact 60 B/row), "hi32" (48 B/row hi32
+    # prefilter + exact re-verify of flagged rows), "auto" (measure batch 0
+    # and cut only when the H2D link is the bottleneck — the reference
+    # ships 64 B/row points alone, src/cudasp_extension.cu:159-163).
+    # CUDASP_UPLOAD overrides.
+    upload: str = "auto"
 
 
 @dataclass
@@ -424,11 +435,18 @@ def _scan_impl(table, scan_private_key, spend_public_key, label_keys=(),
             p *= 2
         return p
 
+    from .runtime import compile_cache
+
+    compile_cache.ensure()
     block_rows = cfg.block_rows or int(
         os.environ.get("CUDASP_BLOCK_ROWS", "512"))
     executor = BatchExecutor(mesh=cfg.mesh, fused=cfg.fused,
                              backend=cfg.backend, block_rows=block_rows,
-                             rebalance=cfg.rebalance)
+                             rebalance=cfg.rebalance,
+                             ladder=os.environ.get("CUDASP_LADDER",
+                                                   cfg.ladder),
+                             upload=os.environ.get("CUDASP_UPLOAD",
+                                                   cfg.upload))
     # Pallas tile: 262144 rows/dispatch measured best — wider tiles (1M)
     # degrade sharply on v5e (HBM pressure / grid scheduling), narrower
     # ones pay per-dispatch overhead.

@@ -244,6 +244,7 @@ class ScanSchedule(NamedTuple):
     n2: np.int32
     digits: np.ndarray    # (2, 33) int32 signed
     odd: np.ndarray       # (2, 34) int32 odd-digit schedule (Pallas ladder)
+    wnaf: np.ndarray      # (2, 54) int32 wNAF step schedule (Pallas ladder)
 
 
 def pack_query_keys(scan_key_blob: bytes, spend_blob: bytes,
@@ -254,7 +255,7 @@ def pack_query_keys(scan_key_blob: bytes, spend_blob: bytes,
 
     k = blob32_to_scalar(bytes(scan_key_blob))
     windows = ScanSchedule(*S.glv_windows(k), S.glv_signed_digits(k),
-                           S.glv_odd_sched(k))
+                           S.glv_odd_sched(k), S.glv_wnaf_steps(k))
     sx, sy = blob64_to_point(bytes(spend_blob))
     spend_x = F.int_to_limbs(sx)[:, None]
     spend_y = F.int_to_limbs(sy)[:, None]

@@ -289,7 +289,7 @@ def _limbs_from_words(w):
     return jnp.concatenate(rows, axis=0).astype(jnp.int32)
 
 
-def _scan_kernel(nlabels, nout, digits_ref, bmask_ref,
+def _scan_kernel(nlabels, nout, ladder, hi_only, digits_ref, bmask_ref,
                  tw_ref, oh_ref, ol_ref, ovm_ref,
                  sx_ref, sy_ref, lx_ref, ly_ref, comb_ref,
                  out_ref, tabx, taby, sbytes_ref):
@@ -306,13 +306,13 @@ def _scan_kernel(nlabels, nout, digits_ref, bmask_ref,
 
     @pl.when(bmask_ref[i] != 0)
     def _():
-        _scan_block(nlabels, nout, digits_ref,
+        _scan_block(nlabels, nout, ladder, hi_only, digits_ref,
                     tw_ref, oh_ref, ol_ref, ovm_ref,
                     sx_ref, sy_ref, lx_ref, ly_ref, comb_ref,
                     out_ref, tabx, taby, sbytes_ref)
 
 
-def _scan_block(nlabels, nout, digits_ref,
+def _scan_block(nlabels, nout, ladder, hi_only, digits_ref,
                 tw_ref, oh_ref, ol_ref, ovm_ref,
                 sx_ref, sy_ref, lx_ref, ly_ref, comb_ref,
                 out_ref, tabx, taby, sbytes_ref):
@@ -373,39 +373,70 @@ def _scan_block(nlabels, nout, digits_ref,
         taby[0, m] = ay
         taby[1, m] = F.neg(ay)
 
-    # ---- GLV ladder over the odd-digit schedule (scalar.glv_odd_sched):
-    # 32 windows x (4 dbl + 2 table adds). Digits are shared across lanes
-    # (table selects are scalar-indexed dynamic slices) and NEVER ZERO, so
-    # the loop needs no zero-skip selects and no infinity tracking — the
-    # accumulator starts at the first window's table entry.
-    def pick(h, i):
-        code = digits_ref[h, i]
-        return tabx[h, code & 7], taby[code >> 3, code & 7]
+    if ladder == "wnaf":
+        # ---- interleaved width-5 wNAF ladder (scalar.glv_wnaf_steps):
+        # the schedule arrives as DATA — (ndbl, add-code) pairs in SMEM —
+        # so one compiled program serves every scan key while executing
+        # only ~43 adds (vs the fixed-window schedule's 64) over the same
+        # shared 127-doubling chain. Step 0 is always a live add with 0
+        # doublings: it initializes the accumulator (no infinity tracking).
+        # Dead padding steps cost one scalar branch each (lax.cond).
+        def pickw(code):
+            return (tabx[(code >> 4) & 1, code & 7],
+                    taby[(code >> 3) & 1, code & 7])
 
-    px, py = pick(0, 0)
-    qx, qy = pick(1, 0)
-    px, py, pz = _madd_core(px, py, one, qx, qy)
+        px, py = pickw(digits_ref[1, 0])
+        pz = one
 
-    def window(i, carry):
-        px, py, pz = carry
-        for _ in range(4):
-            px, py, pz = _dbl(px, py, pz)
+        def wstep(i, carry):
+            px, py, pz = carry
+            nd = digits_ref[0, i]
+            code = digits_ref[1, i]
+            px, py, pz = jax.lax.fori_loop(
+                0, nd, lambda _, c: _dbl(*c), (px, py, pz))
+
+            def do_add(c):
+                return _madd_core(c[0], c[1], c[2], *pickw(code))
+
+            return jax.lax.cond((code >> 5) != 0, do_add, lambda c: c,
+                                (px, py, pz))
+
+        ex, ey, ez = jax.lax.fori_loop(1, S.WNAF_STEPS, wstep, (px, py, pz))
+    else:
+        # ---- GLV ladder over the odd-digit schedule (glv_odd_sched):
+        # 32 windows x (4 dbl + 2 table adds). Digits are shared across
+        # lanes (table selects are scalar-indexed dynamic slices) and NEVER
+        # ZERO, so the loop needs no zero-skip selects and no infinity
+        # tracking — the accumulator starts at the first window's entry.
+        def pick(h, i):
+            code = digits_ref[h, i]
+            return tabx[h, code & 7], taby[code >> 3, code & 7]
+
+        px, py = pick(0, 0)
+        qx, qy = pick(1, 0)
+        px, py, pz = _madd_core(px, py, one, qx, qy)
+
+        def window(i, carry):
+            px, py, pz = carry
+            for _ in range(4):
+                px, py, pz = _dbl(px, py, pz)
+            for h in range(2):
+                qx, qy = pick(h, i)
+                px, py, pz = _madd_core(px, py, pz, qx, qy)
+            return px, py, pz
+
+        ex, ey, ez = jax.lax.fori_loop(1, S.ODD_WINDOWS, window,
+                                       (px, py, pz))
+
+        # parity corrections: halves recoded as K+e need a final -sign*e*P_h
         for h in range(2):
-            qx, qy = pick(h, i)
-            px, py, pz = _madd_core(px, py, pz, qx, qy)
-        return px, py, pz
-
-    ex, ey, ez = jax.lax.fori_loop(1, S.ODD_WINDOWS, window, (px, py, pz))
-
-    # parity corrections: halves recoded as K+e need a final -sign*e*P_h
-    for h in range(2):
-        corr = digits_ref[h, S.ODD_WINDOWS] != 0
-        cy = taby[digits_ref[h, S.ODD_WINDOWS + 1], 0]
-        ax, ay, az = _madd_core(ex, ey, ez, tabx[h, 0], cy)
-        m = jnp.full((1, bx.shape[1]), corr)
-        ex = _sel(m, ax, ex)
-        ey = _sel(m, ay, ey)
-        ez = _sel(m, az, ez)
+            corr = digits_ref[h, S.ODD_WINDOWS] != 0
+            cy = taby[digits_ref[h, S.ODD_WINDOWS + 1], 0]
+            ax, ay, az = _madd_core(ex, ey, ez, tabx[h, 0], cy)
+            m = jnp.full((1, bx.shape[1]), corr)
+            ex = _sel(m, ax, ex)
+            ey = _sel(m, ay, ey)
+            ez = _sel(m, az, ez)
 
     zeros = jnp.zeros_like(ex)
     inf0 = jnp.ones((1, ex.shape[1]), jnp.int32)   # int32 mask: Mosaic
@@ -464,7 +495,13 @@ def _scan_block(nlabels, nout, digits_ref,
 
     zinvs = _inv_chain_raw([c[2] for c in cands])
     oh = oh_ref[:]
-    ol = ol_ref[:]
+    # hi_only: the lo-32 match words were not uploaded (the 60 B/row batch
+    # shrinks to 48 B/row when the H2D link is the bottleneck); flags are a
+    # SUPERSET of the exact flags (hi32 equality is necessary for a full
+    # match) and the executor re-verifies flagged rows in an exact second
+    # pass (runtime.executor._run_pallas). ~2^-32 false-flag rate per
+    # compared output entry.
+    ol = None if hi_only else ol_ref[:]
     # ovm bits: 0..M-1 = outputs_valid, 30 = y parity, 31 = row_valid
     ov = jnp.concatenate(
         [(ovm >> np.uint32(j)) & np.uint32(1) for j in range(nout)],
@@ -475,7 +512,9 @@ def _scan_block(nlabels, nout, digits_ref,
         x_can = _canon2d(F.mul(cx, F.sqr(czi)))
         words = _words_be_2d(x_can)
         dead = cinf | _is_zero2d(cz)
-        eq = (words[0:1] == oh) & (words[1:2] == ol) & ov
+        eq = (words[0:1] == oh) & ov
+        if not hi_only:
+            eq = eq & (words[1:2] == ol)
         hit = hit | (jnp.any(eq, axis=0, keepdims=True) & ~dead)
 
     out_ref[:] = (hit & rv).astype(jnp.int8)   # int8: flags D2H rides the
@@ -483,11 +522,13 @@ def _scan_block(nlabels, nout, digits_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("nlabels", "block_rows", "interpret"))
+                   static_argnames=("nlabels", "block_rows", "interpret",
+                                    "ladder", "hi_only"))
 def _scan_pallas_call(tweak_words, outputs_hi, outputs_lo, outputs_mask,
                       digits, spend_x, spend_y,
                       label_x, label_y, comb, blockmask=None, *, nlabels,
-                      block_rows, interpret=False):
+                      block_rows, interpret=False, ladder="fixed",
+                      hi_only=False):
     B = tweak_words.shape[1]
     M = outputs_hi.shape[0]
     L = label_x.shape[0]
@@ -513,12 +554,15 @@ def _scan_pallas_call(tweak_words, outputs_hi, outputs_lo, outputs_mask,
     syw = jnp.broadcast_to(spend_y, (N, block_rows))
     lxw = jnp.broadcast_to(label_x, (L, N, block_rows))
     lyw = jnp.broadcast_to(label_y, (L, N, block_rows))
+    # hi_only drops the lo-32 match plane from the upload (outputs_lo is a
+    # (M, 1) dummy); the executor re-verifies flagged rows exactly.
+    lo_spec = fixed((M, 1)) if hi_only else col_block(M)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2 if skip else 1,
         grid=(B // block_rows,),
         in_specs=[
             col_block(8),                        # raw LE x words (compressed)
-            col_block(M), col_block(M),          # outputs hi/lo
+            col_block(M), lo_spec,               # outputs hi/lo
             col_block(1),                        # validity bitmask
             fixed((N, block_rows)), fixed((N, block_rows)),        # spend
             fixed((L, N, block_rows)), fixed((L, N, block_rows)),  # labels
@@ -531,8 +575,9 @@ def _scan_pallas_call(tweak_words, outputs_hi, outputs_lo, outputs_mask,
             pltpu.VMEM((32, block_rows), jnp.int32),        # hash bytes
         ],
     )
-    kern = (functools.partial(_scan_kernel, nlabels, M) if skip
-            else functools.partial(_scan_block, nlabels, M))
+    kern = (functools.partial(_scan_kernel, nlabels, M, ladder, hi_only)
+            if skip
+            else functools.partial(_scan_block, nlabels, M, ladder, hi_only))
     args = ((digits, blockmask) if skip else (digits,)) + (
         tweak_words, outputs_hi, outputs_lo, outputs_mask,
         sxw, syw, lxw, lyw, comb)
@@ -550,7 +595,8 @@ def _scan_pallas_call(tweak_words, outputs_hi, outputs_lo, outputs_mask,
 
 
 @functools.lru_cache(maxsize=32)
-def _sharded_scan_fn(mesh, nlabels, block_rows, interpret, skip=False):
+def _sharded_scan_fn(mesh, nlabels, block_rows, interpret, skip=False,
+                     ladder="fixed", hi_only=False):
     """shard_map-wrapped scan over the mesh's 'data' axis: each chip runs
     the Pallas grid over its local row shard; no collectives are needed
     inside the kernel (rows are independent — SURVEY.md §2.4). This is the
@@ -562,12 +608,14 @@ def _sharded_scan_fn(mesh, nlabels, block_rows, interpret, skip=False):
     lane = P(None, "data")
     rep2 = P(None, None)
     rep3 = P(None, None, None)
-    specs = (lane, lane, lane, lane, rep2, rep2, rep2, rep3, rep3, rep3)
+    lo = rep2 if hi_only else lane      # hi_only ships a (M, 1) dummy lo
+    specs = (lane, lane, lo, lane, rep2, rep2, rep2, rep3, rep3, rep3)
     if skip:
         specs = specs + (P("data"),)
     fn = jax.shard_map(
         functools.partial(_scan_pallas_call, nlabels=nlabels,
-                          block_rows=block_rows, interpret=interpret),
+                          block_rows=block_rows, interpret=interpret,
+                          ladder=ladder, hi_only=hi_only),
         mesh=mesh,
         in_specs=specs,
         out_specs=lane,
@@ -579,7 +627,8 @@ def _sharded_scan_fn(mesh, nlabels, block_rows, interpret, skip=False):
 def scan_pallas_sharded(mesh, tweak_words, outputs_hi, outputs_lo,
                         outputs_mask, digits, spend_x, spend_y,
                         label_x, label_y, comb, blockmask=None, *, nlabels,
-                        block_rows=256, interpret=False):
+                        block_rows=256, interpret=False, ladder="fixed",
+                        hi_only=False):
     """Multi-chip fused scan: batch lanes sharded over mesh axis 'data'.
     B must be a multiple of n_devices * block_rows. blockmask: (B //
     block_rows,) int32, nonzero where the block has live rows (lanes are
@@ -591,7 +640,8 @@ def scan_pallas_sharded(mesh, tweak_words, outputs_hi, outputs_lo,
             f"batch width {B} not a multiple of {ndev} devices x "
             f"{block_rows} block rows")
     fn = _sharded_scan_fn(mesh, int(nlabels), int(block_rows),
-                          bool(interpret), blockmask is not None)
+                          bool(interpret), blockmask is not None,
+                          str(ladder), bool(hi_only))
     args = (tweak_words, outputs_hi, outputs_lo, outputs_mask, digits,
             spend_x, spend_y, label_x, label_y, comb)
     if blockmask is not None:
@@ -611,7 +661,8 @@ def live_blockmask(n_live: int, n_blocks: int, block_rows: int):
 
 
 def pack_batch_arrays(tweak_blobs, row_valid, outputs_hi, outputs_lo,
-                      outputs_valid, block_rows: int = 256):
+                      outputs_valid, block_rows: int = 256,
+                      hi_only: bool = False):
     """Host-side layout conversion of one packed batch into the kernel's
     compact planes (~60 B/row at 3 outputs/row; the H2D link — ~50 MB/s
     through the axon tunnel — is the scan's bandwidth bottleneck):
@@ -622,6 +673,10 @@ def pack_batch_arrays(tweak_blobs, row_valid, outputs_hi, outputs_lo,
       oh/ol       (M, Bp)  uint32 — match words
       ovm         (1, Bp)  uint32 — bit j = outputs_valid[:, j];
                                     bit 30 = y parity; bit 31 = row_valid
+
+    hi_only=True replaces ol with a (M, 1) dummy (48 B/row at 3 outputs):
+    the kernel then matches on hi32 words only and the executor re-checks
+    flagged rows exactly (VERDICT r1 lever 1, the upload cut).
     """
     B = int(tweak_blobs.shape[0])
     M = int(outputs_hi.shape[1])
@@ -647,10 +702,12 @@ def pack_batch_arrays(tweak_blobs, row_valid, outputs_hi, outputs_lo,
         ovm |= ov[:, j].astype(np.uint32) << np.uint32(j)
     ovm |= (blobs[:, 32] & np.uint8(1)).astype(np.uint32) << np.uint32(30)
     ovm |= np.asarray(row_valid).astype(np.uint32) << np.uint32(31)
+    lo = (np.zeros((M, 1), np.uint32) if hi_only else
+          padB(np.ascontiguousarray(np.asarray(outputs_lo).T).view(np.uint32)))
     return (
         padB(words),
         padB(np.ascontiguousarray(np.asarray(outputs_hi).T).view(np.uint32)),
-        padB(np.ascontiguousarray(np.asarray(outputs_lo).T).view(np.uint32)),
+        lo,
         padB(ovm[None, :]),
     )
 
@@ -669,11 +726,13 @@ def pack_query_arrays(spend_x, spend_y, label_x, label_y,
 def scan_batch_pallas(tweak_blobs, row_valid, outputs_hi, outputs_lo,
                       outputs_valid, digits, spend_x, spend_y,
                       label_x, label_y, *, nlabels: int,
-                      block_rows: int = 256):
+                      block_rows: int = 256, ladder: str = "fixed"):
     """Pallas-fused scan over one packed batch. Same contract as
-    pipeline.scan_batch_fused but takes raw (B, 64) tweak blobs and the
-    (2, 34) odd-digit schedule (scalar.glv_odd_sched) instead of limb
-    planes + the unsigned window pytree.
+    pipeline.scan_batch_fused but takes raw (B, 64) tweak blobs and a
+    scalar schedule instead of limb planes + the unsigned window pytree:
+    the (2, 34) odd-digit schedule (scalar.glv_odd_sched, ladder="fixed")
+    or the (2, 54) wNAF step schedule (scalar.glv_wnaf_steps,
+    ladder="wnaf").
 
     Accepts host arrays; pads B to a block_rows multiple."""
     B = int(tweak_blobs.shape[0])
@@ -685,7 +744,7 @@ def scan_batch_pallas(tweak_blobs, row_valid, outputs_hi, outputs_lo,
         jnp.asarray(spend_x), jnp.asarray(spend_y),
         jnp.asarray(label_x), jnp.asarray(label_y),
         comb_table_f32(), jnp.asarray(bmask) if bmask is not None else None,
-        nlabels=nlabels, block_rows=block_rows)
+        nlabels=nlabels, block_rows=block_rows, ladder=ladder)
     return flags[0, :B] != 0
 
 

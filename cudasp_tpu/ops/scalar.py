@@ -207,6 +207,82 @@ def glv_odd_sched(k: int) -> np.ndarray:
     return out
 
 
+WNAF_WIDTH = 5        # odd digits +-{1..15}: the same 8-entry odd-multiple
+#                       table the fixed-window ladder builds per row tile
+WNAF_STEPS = 54       # worst case: 2 halves x ceil(129/5) adds + trailing
+#                       doubling step (measured max over 2000 keys: 48)
+
+
+def wnaf_digits(v: int, width: int = WNAF_WIDTH):
+    """LSB-first wNAF digits of v >= 0: odd values in +-{1..2^(width-1)-1}
+    or 0, with >= width-1 zeros after every nonzero digit (average nonzero
+    density 1/(width+1))."""
+    digs = []
+    while v:
+        if v & 1:
+            d = v & ((1 << width) - 1)
+            if d >= (1 << (width - 1)):
+                d -= 1 << width
+            v -= d
+        else:
+            d = 0
+        digs.append(d)
+        v >>= 1
+    return digs
+
+
+def glv_wnaf_steps(k: int) -> np.ndarray:
+    """Host-side schedule for the wNAF Pallas ladder: (2, WNAF_STEPS) int32.
+
+    Both GLV half-scalars are recoded as width-5 wNAF and merged into ONE
+    step list sharing the doubling chain (left-to-right evaluation).
+    Row 0, col i = number of doublings before step i's add; row 1 = add
+    code: bits 0-2 = odd-multiple index (|d|-1)/2, bit 3 = negate y,
+    bit 4 = GLV half (0: P, 1: lambda*P via the beta endomorphism),
+    bit 5 = live flag (0 = padding / trailing-doubling step, no add).
+
+    Step 0 is always a live add with 0 doublings (it initializes the
+    accumulator, so the ladder needs no infinity tracking). ~43 adds
+    average vs the fixed-window schedule's 64, same per-row table, and the
+    schedule is DATA (scalar-prefetched), so changing scan keys never
+    recompiles — the r1-VERDICT 'static_key compiled ladder' lever landed
+    without the per-key recompile it assumed. k === 0 (mod n) encodes as a
+    single +P add: defined garbage that cannot match (the reference's UB
+    case, src/cudasp_gpu.cu:719-732)."""
+    a1, n1, a2, n2 = glv_split(k)
+    events: dict = {}
+    for h, (a, neg) in enumerate(((a1, n1), (a2, n2))):
+        for pos, d in enumerate(wnaf_digits(a)):
+            if d == 0:
+                continue
+            if neg:
+                d = -d
+            idx = (abs(d) - 1) // 2
+            sgn = 1 if d < 0 else 0
+            events.setdefault(pos, []).append((h, idx, sgn))
+    if not events:
+        events[0] = [(0, 0, 0)]
+    poss = sorted(events, reverse=True)
+    flat = []
+    prev = poss[0]
+    for pos in poss:
+        nd = prev - pos
+        for j, ev in enumerate(events[pos]):
+            flat.append((nd if j == 0 else 0, ev))
+            nd = 0
+        prev = pos
+    if poss[-1] > 0:                       # doublings down to bit 0
+        flat.append((poss[-1], None))
+    assert len(flat) <= WNAF_STEPS, len(flat)
+    steps = np.zeros((2, WNAF_STEPS), np.int32)
+    for i, (nd, ev) in enumerate(flat):
+        steps[0, i] = nd
+        if ev is not None:
+            h, idx, sgn = ev
+            steps[1, i] = idx | (sgn << 3) | (h << 4) | (1 << 5)
+    return steps
+
+
 def glv_windows(k: int):
     """Host-side schedule for the GLV ladder: two (32,) digit arrays (4-bit
     windows, MSB first over 128 bits) plus sign flags."""

@@ -22,6 +22,16 @@
     python -m cudasp_tpu.oracle gen-vectors --rows N [--seed S] [--match-every K]
         -> JSONL test table + keys (generate_test_vectors.py)
 
+    python -m cudasp_tpu.oracle decode-blob --blob <hex>
+        -> endianness forensics of a 32-B scalar / 64-B point wire blob:
+        LE and BE hex, integer value, on-curve check, upper64 of x
+        (decode_test_blobs.py / parse_test_blobs.py)
+
+    python -m cudasp_tpu.oracle convert-vector --scan-key-be <64hex>
+        [--spend-pub <128hex>] [--tweak <128|130hex>] [--outputs N]...
+        -> BIP-352 big-endian vector material as LE wire blobs + a SQL
+        INSERT for the cudasp_scan test table (convert_bip352_test_vector.py)
+
 All key/blob arguments use the wire format of the scan API (little-endian
 blobs, reference src/cudasp_extension.cu:56-85).
 """
@@ -119,6 +129,72 @@ def cmd_gen_vectors(args):
     return 0
 
 
+def cmd_decode_blob(args):
+    """Byte-order forensics for wire blobs (the role of the reference's
+    decode_test_blobs.py / parse_test_blobs.py, SURVEY.md §2.3)."""
+    raw = _hex(args.blob)
+    if len(raw) == 32:
+        v = int.from_bytes(raw, "little")
+        print("kind: scalar (32 B, little-endian)")
+        print(f"le_hex: {raw.hex()}")
+        print(f"be_hex: {raw[::-1].hex()}")
+        print(f"int: {v}")
+        print(f"in_order_range: {0 < v < EC.N}")
+        return 0
+    if len(raw) == 64:
+        x = int.from_bytes(raw[:32], "little")
+        y = int.from_bytes(raw[32:], "little")
+        print("kind: point (64 B, LE x || LE y)")
+        print(f"x_be: {x:064x}")
+        print(f"y_be: {y:064x}")
+        on = (y * y - (x * x * x + 7)) % EC.P == 0
+        print(f"on_curve: {on}")
+        print(f"y_parity: {'odd' if y & 1 else 'even'}")
+        print(f"upper64_of_x: {PIPE.upper64_signed(x)}")
+        return 0
+    raise SystemExit(f"blob must be 32 or 64 bytes, got {len(raw)}")
+
+
+def cmd_convert_vector(args):
+    """BIP-352 test-vector material (big-endian hex, the BIP's wire forms)
+    -> this engine's little-endian blobs + a ready SQL INSERT (the role of
+    convert_bip352_test_vector.py; same endianness rules as the reference,
+    src/cudasp_extension.cu:56-85)."""
+    out = {}
+    if args.scan_key_be:
+        out["scan_private_key"] = _hex(args.scan_key_be)[::-1].hex()
+    if args.spend_pub:
+        raw = _hex(args.spend_pub)
+        if len(raw) == 65 and raw[0] == 4:     # uncompressed SEC1, BE
+            raw = raw[1:33][::-1] + raw[33:][::-1]
+        elif len(raw) == 33 and raw[0] in (2, 3):
+            p = EC.decompress_point(raw)
+            raw = ENC.point_to_blob64(p)
+        elif len(raw) != 64:
+            raise SystemExit("spend-pub must be 33/64/65 bytes")
+        out["spend_public_key"] = raw.hex()
+    tweak_hex = None
+    if args.tweak:
+        raw = _hex(args.tweak)
+        if len(raw) == 65 and raw[0] == 4:
+            raw = raw[1:]                      # already LE x||y in vectors
+        if len(raw) != 64:
+            raise SystemExit("tweak must be 64 or 65 bytes")
+        tweak_hex = raw.hex()
+        out["tweak_key"] = tweak_hex
+    for k, v in out.items():
+        print(f"{k}: {v}")
+    if tweak_hex:
+        outs = ", ".join(str(v) for v in (args.output or [0]))
+        txid = "\\x00" * 32
+        print("sql: INSERT INTO test_data VALUES (BLOB '" + txid +
+              f"', {args.height}, BLOB '" +
+              "".join(f"\\x{tweak_hex[i:i+2]}"
+                      for i in range(0, 128, 2)) +
+              f"', [{outs}]);")
+    return 0
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="python -m cudasp_tpu.oracle")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -156,6 +232,20 @@ def main(argv=None):
     p.add_argument("--match-every", type=int, default=4)
     p.add_argument("--outputs", type=int, default=3)
     p.set_defaults(fn=cmd_gen_vectors)
+
+    p = sub.add_parser("decode-blob")
+    p.add_argument("--blob", required=True,
+                   help="32-B scalar or 64-B point wire blob hex")
+    p.set_defaults(fn=cmd_decode_blob)
+
+    p = sub.add_parser("convert-vector")
+    p.add_argument("--scan-key-be", help="32-B big-endian scalar hex")
+    p.add_argument("--spend-pub", help="33/64/65-B public key hex")
+    p.add_argument("--tweak", help="64/65-B tweak point hex")
+    p.add_argument("--height", type=int, default=100)
+    p.add_argument("--output", action="append", type=int,
+                   help="outputs list entry (repeatable)")
+    p.set_defaults(fn=cmd_convert_vector)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -107,7 +107,8 @@ def blockmask_from_counts(counts, n_local_blocks: int,
 def rebalanced_scan(mesh, tweak_words, outputs_hi, outputs_lo, outputs_mask,
                     src_hi, src_lo, digits, spend_x, spend_y,
                     label_x, label_y, comb, *, nlabels: int,
-                    block_rows: int = 512, interpret: bool = False):
+                    block_rows: int = 512, interpret: bool = False,
+                    ladder: str = "fixed"):
     """all_to_all-rebalanced sharded scan.
 
     Same contract as ops.kernels.scan_pallas_sharded plus (2, B)-style
@@ -127,5 +128,5 @@ def rebalanced_scan(mesh, tweak_words, outputs_hi, outputs_lo, outputs_mask,
     flags = K.scan_pallas_sharded(
         mesh, tw, oh, ol, ovm, digits, spend_x, spend_y, label_x, label_y,
         comb, bmask, nlabels=nlabels, block_rows=block_rows,
-        interpret=interpret)
+        interpret=interpret, ladder=ladder)
     return flags, shi, slo

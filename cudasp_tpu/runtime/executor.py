@@ -41,7 +41,8 @@ class BatchExecutor:
 
     def __init__(self, mesh=None, fused: bool = False,
                  backend: str = "auto", block_rows: int = 512,
-                 rebalance: bool = False):
+                 rebalance: bool = False, ladder: str = "auto",
+                 upload: str = "auto"):
         # block_rows=512 is the measured v5e sweet spot (256: -7%,
         # 768: -2.5%, 1024: VMEM pressure fails compilation)
         self._shardings = None
@@ -57,6 +58,17 @@ class BatchExecutor:
         # all_to_all exchange (parallel.exchange.rebalanced_scan) so skewed
         # per-shard row counts even out before EC compute. Pallas+mesh only.
         self._rebalance = bool(rebalance and mesh is not None)
+        # ladder: "wnaf" (interleaved width-5 wNAF, ~43 table adds/row) or
+        # "fixed" (odd-digit fixed windows, 64 adds). "auto" = wnaf, the
+        # measured-faster schedule; both are data-driven (no per-key
+        # recompile).
+        self._ladder = {"auto": "wnaf"}.get(ladder, ladder)
+        # upload: "full" (exact 60 B/row batches), "hi32" (48 B/row hi32
+        # prefilter + exact re-verify of flagged rows), or "auto" (measure
+        # batch 0: cut the lo plane only when the H2D link, not the kernel,
+        # bounds the scan). Pallas path only; the rebalanced-exchange path
+        # always ships full planes.
+        self._upload = upload
 
     @property
     def backend(self) -> str:
@@ -135,7 +147,10 @@ class BatchExecutor:
         from ..ops import kernels as K
 
         br = self._block_rows
-        digits = jnp.asarray(np.asarray(scan_windows.odd, np.int32))
+        ladder = self._ladder
+        sched = (scan_windows.wnaf if ladder == "wnaf"
+                 else scan_windows.odd)
+        digits = jnp.asarray(np.asarray(sched, np.int32))
         sx, sy, lx, ly = (jnp.asarray(a) for a in K.pack_query_arrays(
             spend_x, spend_y, label_x, label_y, br))
         comb = K.comb_table_f32()
@@ -150,8 +165,33 @@ class BatchExecutor:
         # time the upload truly: on the axon tunnel block_until_ready does
         # not block), so it only runs when metrics are being emitted.
         detail = metrics is not None and bool(os.environ.get("CUDASP_METRICS"))
+        # hi32 upload-cut state (VERDICT r1 lever 1). "auto" ships batch 0
+        # full while measuring its upload and kernel times; if the H2D link
+        # is the bottleneck, later batches drop the lo-32 match plane
+        # (60 -> 48 B/row at 3 outputs) and flagged rows get an exact
+        # second pass. The rebalanced-exchange path always ships full.
+        auto = self._upload == "auto" and not rebalance and not interpret
+        upload_state = {
+            "mode": "hi32" if (self._upload == "hi32" and not rebalance)
+                    else "full",
+            "uploads": [],            # measured early H2D seconds (auto)
+            "kernel0": None,          # measured batch-0 kernel seconds
+        }
 
-        def dispatch(dev, bmask):
+        def _decide():
+            """Re-evaluate the upload mode from the cleanest measurements
+            so far: min of the early upload timings (the first transfer
+            pays tunnel/runtime spin-up and over-reads) vs the bare batch-0
+            kernel time. Timings are scaled to full-plane bytes so a
+            48 B/row hi32 measurement doesn't bias the comparison."""
+            k0 = upload_state["kernel0"]
+            ups = upload_state["uploads"]
+            if k0 is None or not ups:
+                return
+            up = min(u * full / sent for u, sent, full in ups)
+            upload_state["mode"] = "hi32" if up > 1.15 * k0 else "full"
+
+        def dispatch(dev, bmask, hi_only=False):
             if rebalance:
                 from ..parallel import exchange
 
@@ -159,14 +199,16 @@ class BatchExecutor:
                 return exchange.rebalanced_scan(
                     mesh, tw, oh, ol, ovm, shi, slo, digits, sx, sy, lx, ly,
                     comb, nlabels=nlabels, block_rows=br,
-                    interpret=interpret)
+                    interpret=interpret, ladder=ladder)
             if mesh is None:
                 return K._scan_pallas_call(
                     *dev, digits, sx, sy, lx, ly, comb, bmask,
-                    nlabels=nlabels, block_rows=br)
+                    nlabels=nlabels, block_rows=br, ladder=ladder,
+                    hi_only=hi_only)
             return K.scan_pallas_sharded(
                 mesh, *dev, digits, sx, sy, lx, ly, comb, bmask,
-                nlabels=nlabels, block_rows=br, interpret=interpret)
+                nlabels=nlabels, block_rows=br, interpret=interpret,
+                ladder=ladder, hi_only=hi_only)
 
         # Host packing + H2D upload run on a feeder thread so the transfer
         # of batch i+1 rides alongside the kernel of batch i (the role of
@@ -197,9 +239,11 @@ class BatchExecutor:
                     if blobs is None:   # caller packed with layout="xla"
                         raise ValueError(
                             "pallas backend needs layout='kernel' batches")
+                    hi_only = upload_state["mode"] == "hi32"
                     planes = K.pack_batch_arrays(
                         blobs, b.row_valid, b.outputs_hi,
-                        b.outputs_lo, b.outputs_valid, pad_to)
+                        b.outputs_lo, b.outputs_valid, pad_to,
+                        hi_only=hi_only)
                     srcs = b.source_rows
                     if rebalance:
                         # source-row planes ride the exchange with their
@@ -213,11 +257,23 @@ class BatchExecutor:
                             np.ascontiguousarray(slo[None]))
                     t0 = time.perf_counter()
                     dev = tuple(jax.device_put(a, lane_sh) for a in planes)
-                    if detail:
+                    if detail or (auto and i < 4):
                         # force transfer completion with a tiny D2H read
                         np.asarray(dev[0][:1, :1])
-                        metrics.upload_seconds += time.perf_counter() - t0
-                        metrics.upload_bytes += sum(a.nbytes for a in planes)
+                        dt = time.perf_counter() - t0
+                        if auto and i < 4:
+                            sent = sum(a.nbytes for a in planes)
+                            full = sent + (
+                                b.outputs_hi.shape[1] * 4
+                                * planes[0].shape[1] - planes[2].nbytes
+                                if hi_only else 0)
+                            upload_state["uploads"].append(
+                                (dt, sent, full))
+                            _decide()
+                        if detail:
+                            metrics.upload_seconds += dt
+                            metrics.upload_bytes += sum(
+                                a.nbytes for a in planes)
                     bmask = None
                     if not rebalance:
                         # valid rows are a prefix of the packed lanes —
@@ -237,16 +293,20 @@ class BatchExecutor:
                             bmask = jax.device_put(
                                 bmask,
                                 NamedSharding(mesh, PartitionSpec("data")))
-                    if not put((i, blobs.shape[0], (dev, bmask), srcs)):
+                    payload = b if hi_only else None
+                    if not put((i, blobs.shape[0], (dev, bmask), srcs,
+                                payload)):
                         return
             except Exception as e:                      # noqa: BLE001
                 put(e)
                 return
             put(None)
 
+        pending = []                  # hi32 batches awaiting exact re-verify
+
         def read_back(entry):
             """Blocking device->host read of one in-flight result."""
-            n, f, srcs = entry
+            n, f, srcs, payload = entry
             t0 = time.perf_counter()
             if rebalance:
                 flags, shi, slo = f
@@ -258,13 +318,68 @@ class BatchExecutor:
                 fl = np.asarray(f)[0, :n] != 0
             if detail:
                 metrics.device_wait_seconds += time.perf_counter() - t0
-            results.append((fl, srcs))
+            if payload is not None:
+                # hi32 prefilter flags are a superset of the exact flags:
+                # queue flagged rows for the exact pass, emit zeros now and
+                # let _reverify fill the slot in
+                flagged = np.flatnonzero(fl)
+                final = np.zeros(n, bool)
+                results.append([final, srcs])
+                if len(flagged):
+                    pending.append((len(results) - 1, payload, flagged))
+                return
+            results.append([fl, srcs])
+
+        def reverify():
+            """Exact pass over hi32-flagged rows: re-scan them with full
+            60 B/row planes through the same compiled kernel (dead blocks
+            skipped via the blockmask). Flags land back in their batches'
+            result slots."""
+            rows = sum(len(fl) for _, _, fl in pending)
+            if metrics is not None:
+                metrics.reverified_rows += rows
+            tw = np.concatenate(
+                [p.tweak_blobs[fl] for _, p, fl in pending])
+            oh = np.concatenate([p.outputs_hi[fl] for _, p, fl in pending])
+            ol = np.concatenate([p.outputs_lo[fl] for _, p, fl in pending])
+            ov = np.concatenate(
+                [p.outputs_valid[fl] for _, p, fl in pending])
+            exact = np.zeros(rows, bool)
+            for a in range(0, rows, pad_to * 512):
+                bslice = slice(a, min(a + pad_to * 512, rows))
+                nsub = bslice.stop - a
+                # pad the lane width to pad_to * 2^k so repeat scans reuse a
+                # handful of compiled shapes (dead blocks skip via bmask)
+                w = pad_to
+                while w < nsub:
+                    w *= 2
+                planes = K.pack_batch_arrays(
+                    tw[bslice], np.ones(nsub, bool), oh[bslice],
+                    ol[bslice], ov[bslice], w)
+                bmask = K.live_blockmask(
+                    nsub, planes[0].shape[1] // br, br)
+                if bmask is not None:
+                    bmask = jnp.asarray(bmask)
+                    if mesh is not None:
+                        from jax.sharding import (NamedSharding,
+                                                  PartitionSpec)
+
+                        bmask = jax.device_put(
+                            bmask,
+                            NamedSharding(mesh, PartitionSpec("data")))
+                dev = tuple(jax.device_put(a, lane_sh) for a in planes)
+                f = dispatch(dev, bmask, hi_only=False)
+                exact[bslice] = np.asarray(f)[0, :nsub] != 0
+            at = 0
+            for slot, _, flagged in pending:
+                results[slot][0][flagged] = exact[at: at + len(flagged)]
+                at += len(flagged)
 
         th = threading.Thread(target=feeder, daemon=True)
         timer = Timer()
         th.start()
         in_flight = []
-        results: List[tuple] = []
+        results: List[list] = []
         nb = 0
         try:
             while True:
@@ -273,17 +388,32 @@ class BatchExecutor:
                     break
                 if isinstance(item, Exception):
                     raise ExecutionError(nb, item) from item
-                i, n, (dev, bmask), srcs = item
+                i, n, (dev, bmask), srcs, payload = item
                 nb += 1
                 try:
-                    flags = dispatch(dev, bmask)
+                    flags = dispatch(dev, bmask,
+                                     hi_only=payload is not None)
                 except Exception as e:                  # noqa: BLE001
                     raise ExecutionError(i, e) from e
-                in_flight.append((n, flags, srcs))
+                in_flight.append((n, flags, srcs, payload))
+                if auto and i == 0:
+                    # measure the bare kernel on batch 0: dispatch()
+                    # returned after compilation, inputs are resident (the
+                    # feeder synced the transfer), the device is otherwise
+                    # idle — so the wait below is pure kernel time. Cost:
+                    # one batch of lost upload/compute overlap. The mode
+                    # re-evaluates as the first few upload timings land
+                    # (the first H2D over-reads: tunnel/runtime spin-up).
+                    t0 = time.perf_counter()
+                    read_back(in_flight.pop(0))
+                    upload_state["kernel0"] = time.perf_counter() - t0
+                    _decide()
                 while len(in_flight) > 3:
                     read_back(in_flight.pop(0))
             for entry in in_flight:
                 read_back(entry)
+            if pending:
+                reverify()
         finally:
             stop.set()
             # a feeder blocked on a full queue unblocks within one put
@@ -302,4 +432,5 @@ class BatchExecutor:
         if metrics is not None:
             metrics.device_seconds += timer.lap()
             metrics.batches += nb
-        return results
+            metrics.upload_mode = upload_state["mode"]
+        return [tuple(r) for r in results]

@@ -30,6 +30,11 @@ class ScanMetrics:
     upload_seconds: float = 0.0
     upload_bytes: int = 0
     device_wait_seconds: float = 0.0
+    # hi32 upload cut (executor upload="hi32"/"auto"): rows whose hi32
+    # prefilter flag needed the exact second pass, and the mode the scan
+    # settled on ("full" / "hi32")
+    reverified_rows: int = 0
+    upload_mode: str = ""
 
     @property
     def bottleneck(self) -> str:

@@ -64,3 +64,37 @@ def test_gen_vectors_oracle_consistent():
         tweak = ENC.blob64_to_point(bytes.fromhex(row["tweak_key"]))
         got = PIPE.scan_row(tweak, scan_key, spend, row["outputs"])
         assert got == row["expect_match"]
+
+
+def test_decode_blob_scalar_and_point():
+    """decode-blob: the reference's decode_test_blobs.py forensics — LE
+    wire scalar round-trips to its documented big-endian form
+    (scripts/decode_test_blobs.py:7,24-27)."""
+    case = V.CASES[1]          # BIP-352 official vector case
+    out = _run("decode-blob", "--blob", case.scan_key_blob.hex())
+    lines = dict(ln.split(": ", 1) for ln in out.strip().splitlines())
+    assert lines["be_hex"] == case.scan_key_blob[::-1].hex()
+    assert lines["in_order_range"] == "True"
+
+    r = case.rows[0]
+    out = _run("decode-blob", "--blob", r.tweak_blob.hex())
+    lines = dict(ln.split(": ", 1) for ln in out.strip().splitlines())
+    assert lines["on_curve"] == "True"
+    x = int.from_bytes(r.tweak_blob[:32], "little")
+    assert int(lines["upper64_of_x"]) == PIPE.upper64_signed(x)
+
+
+def test_convert_vector_matches_reference_blobs():
+    """convert-vector: big-endian BIP-352 scan key -> the exact LE blob the
+    reference's test file carries (convert_bip352_test_vector.py:10-24)."""
+    case = V.CASES[1]
+    be = case.scan_key_blob[::-1].hex()
+    out = _run("convert-vector", "--scan-key-be", be,
+               "--tweak", case.rows[0].tweak_blob.hex(),
+               "--output", str(case.rows[0].outputs[0]))
+    lines = [ln for ln in out.strip().splitlines()]
+    d = dict(ln.split(": ", 1) for ln in lines)
+    assert d["scan_private_key"] == case.scan_key_blob.hex()
+    assert d["tweak_key"] == case.rows[0].tweak_blob.hex()
+    assert d["sql"].startswith("INSERT INTO test_data VALUES")
+    assert str(case.rows[0].outputs[0]) in d["sql"]

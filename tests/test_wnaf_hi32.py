@@ -1,0 +1,163 @@
+"""wNAF ladder schedule + hi32 upload-cut: host recoding, kernel parity
+(interpret), and the executor's exact re-verify pass.
+
+Reference parity targets: the ladder computes the same s x P as gECC's
+ec_pmul (src/cudasp_gpu.cu:764-784); the hi32 cut narrows the uploaded
+match words vs the reference's full 64-bit outputs entries
+(src/cudasp_extension.cu:207-221) and must stay exact end-to-end.
+"""
+
+import numpy as np
+import pytest
+import jax
+
+from cudasp_tpu.io import ingest
+from cudasp_tpu.ops import scalar as S
+from cudasp_tpu.oracle import ec as O
+
+
+def _eval_steps(steps, k_point):
+    """Evaluate a (2, WNAF_STEPS) schedule with the oracle EC group."""
+    lam = O.ec_mul(k_point, S.GLV_LAMBDA)
+    tab = [[O.ec_mul(base, 2 * m + 1) for m in range(8)]
+           for base in (k_point, lam)]
+    acc, first = None, True
+    for i in range(S.WNAF_STEPS):
+        nd, code = int(steps[0, i]), int(steps[1, i])
+        for _ in range(nd):
+            acc = O.ec_add(acc, acc) if acc is not None else None
+        if code >> 5:
+            q = tab[(code >> 4) & 1][code & 7]
+            if (code >> 3) & 1:
+                q = (q[0], (-q[1]) % O.P)
+            acc = q if first else O.ec_add(acc, q)
+            first = False
+    return acc
+
+
+def test_glv_wnaf_steps_reconstruct():
+    """Schedule evaluation == k*P for random keys (oracle EC)."""
+    rng = np.random.default_rng(7)
+    for _ in range(8):
+        k = int.from_bytes(rng.bytes(32), "little") % O.N
+        if k == 0:
+            continue
+        P = O.ec_mul((O.GX, O.GY), int(rng.integers(1, 2**48)))
+        assert _eval_steps(S.glv_wnaf_steps(k), P) == O.ec_mul(P, k)
+
+
+def test_glv_wnaf_steps_bounds():
+    """Step budget holds for edge keys; step 0 is always a live add."""
+    for k in (1, 2, 3, O.N - 1, (1 << 128) - 1, 1 << 255, 0):
+        steps = S.glv_wnaf_steps(k)
+        assert steps.shape == (2, S.WNAF_STEPS)
+        assert steps[0, 0] == 0 and (steps[1, 0] >> 5) == 1
+
+
+@pytest.mark.skipif(jax.default_backend() == "tpu",
+                    reason="interpret parity is the CPU-side check")
+def test_pallas_wnaf_hi32_interpret_parity():
+    """Production defaults (wnaf ladder) + hi32 prefilter, one interpret
+    compile: golden parity on the label case AND the superset property —
+    rows whose lo32 word is corrupted (hi32 unchanged) are still flagged
+    by the prefilter (the exact pass is the executor's job)."""
+    import jax.numpy as jnp
+    from cudasp_tpu.oracle import vectors as V
+    from cudasp_tpu.oracle.encoding import blob32_to_scalar
+    from cudasp_tpu.ops import kernels as K
+    from tests.test_kernels import _kernel_case_arrays
+
+    case = V.CASES[3]
+    B = 128
+    (tweaks, oh, ol, ov, expect,
+     sx, sy, lx, ly, nl, _digits) = _kernel_case_arrays(case, B)
+    steps = S.glv_wnaf_steps(blob32_to_scalar(case.scan_key_blob))
+
+    def run(ol_):
+        planes = K.pack_batch_arrays(tweaks, np.ones(B, bool), oh, ol_,
+                                     ov, 128, hi_only=True)
+        flags = np.asarray(K._scan_pallas_call(
+            *(jnp.asarray(a) for a in planes), jnp.asarray(steps),
+            jnp.asarray(sx), jnp.asarray(sy), jnp.asarray(lx),
+            jnp.asarray(ly), K.comb_table_f32(), nlabels=nl,
+            block_rows=128, interpret=True, ladder="wnaf",
+            hi_only=True))
+        return flags[0, :B] != 0
+
+    assert np.array_equal(run(ol), expect)                    # parity
+    ol_bad = ol ^ np.where(ov, 1, 0).astype(np.int32)
+    assert np.array_equal(run(ol_bad), expect)                # superset
+
+
+def test_executor_hi32_reverify_exact(monkeypatch):
+    """BatchExecutor upload='hi32': flagged rows get an exact second pass,
+    so hi32-collision rows (computed value agrees in the hi32 word only)
+    are pruned from the final results. The jitted kernel entry point is
+    faked with numpy semantics honoring hi_only — packing, the feeder
+    pipeline, flag plumbing, and the reverify slicing/scatter are the real
+    code path; kernel-level hi32 behavior is pinned by the interpret test
+    above."""
+    import jax.numpy as jnp
+    from cudasp_tpu.ops import kernels as K
+    from cudasp_tpu.runtime.executor import BatchExecutor
+
+    B, M = 700, 1
+    rng = np.random.default_rng(11)
+    up_hi = rng.integers(1, 2**31, B).astype(np.uint32)   # uploaded words
+    up_lo = rng.integers(1, 2**31, B).astype(np.uint32)
+    true_rows = {3, 250, 699}
+    coll_rows = {7, 300, 511, 512}
+    # computed (hi, lo) per row: equal for true rows, hi-equal/lo-different
+    # for collision rows, hi-different otherwise
+    comp = {}
+    tweaks = np.zeros((B, 64), np.uint8)
+    ids = np.arange(1, B + 1, dtype=np.uint32)
+    tweaks[:, :4] = ids[:, None].copy().view(np.uint8).reshape(B, 4)
+    for r in range(B):
+        if r in true_rows:
+            comp[int(ids[r])] = (int(up_hi[r]), int(up_lo[r]))
+        elif r in coll_rows:
+            comp[int(ids[r])] = (int(up_hi[r]), int(up_lo[r]) ^ 1)
+        else:
+            comp[int(ids[r])] = (int(up_hi[r]) ^ 1, int(up_lo[r]))
+
+    calls = {"hi": 0, "full": 0}
+
+    def fake_kernel(tw, oh_p, ol_p, ovm, digits, sx, sy, lxq, lyq, comb,
+                    bmask=None, *, nlabels, block_rows, interpret=False,
+                    ladder="fixed", hi_only=False):
+        calls["hi" if hi_only else "full"] += 1
+        tw = np.asarray(tw)
+        oh_p = np.asarray(oh_p)
+        ovm_p = np.asarray(ovm)
+        W = tw.shape[1]
+        f = np.zeros((1, W), np.int8)
+        for j in range(W):
+            rid = int(tw[0, j])
+            if rid == 0 or not (int(ovm_p[0, j]) >> 31) & 1:
+                continue
+            chi, clo = comp[rid]
+            if int(oh_p[0, j]) != chi:
+                continue
+            if hi_only:
+                f[0, j] = 1
+            else:
+                f[0, j] = int(int(np.asarray(ol_p)[0, j]) == clo)
+        return jnp.asarray(f)
+
+    monkeypatch.setattr(K, "_scan_pallas_call", fake_kernel)
+
+    outputs = [[(int(up_hi[r]) << 32) | int(up_lo[r])] for r in range(B)]
+    flat, offsets = ingest.outputs_to_csr(outputs)
+    batches = ingest.iter_packed(tweaks, flat, offsets, batch_size=256,
+                                 max_outputs=M, layout="kernel")
+    keys = ingest.pack_query_keys(b"\x01" + b"\x00" * 31, b"\x00" * 64, [])
+    windows, sxq, syq, lxq, lyq, nl = keys
+
+    ex = BatchExecutor(backend="pallas", block_rows=128, upload="hi32")
+    results = ex.run(batches, windows, sxq, syq, lxq, lyq, nl)
+    matched = (np.concatenate([srcs[fl & (srcs >= 0)]
+                               for fl, srcs in results])
+               if results else np.zeros(0, np.int64))
+    assert set(matched.tolist()) == true_rows
+    assert calls["hi"] >= 1 and calls["full"] >= 1     # reverify ran
