@@ -256,7 +256,8 @@ def test_pallas_sharded_lane_split(monkeypatch):
     from cudasp_tpu.parallel.mesh import make_mesh
 
     def stub(tw, oh, ol, ovm, digits, sx, sy, lx, ly, comb, blockmask=None,
-             *, nlabels, block_rows, interpret=False):
+             *, nlabels, block_rows, interpret=False, ladder="fixed",
+             hi_only=False):
         # flags = low word of the tweak plane + validity bit: proves the
         # shard saw its own lanes of both a wide and a (1, B) plane
         return (tw[:1] + ovm).astype(jnp.int32)

@@ -259,3 +259,29 @@ def test_metrics_emission(monkeypatch, capsys):
     assert m["rows_in"] == 64
     assert m["matches"] == len(expect) == len(res)
     assert m["rows_per_second"] > 0
+
+
+def test_scan_stream_aggregates_hi32_metrics(monkeypatch):
+    """Chunked scans must carry the hi32-path metrics through aggregation
+    (VERDICT r2 weak #6): reverified_rows sums across chunks and
+    upload_mode survives into the aggregated ScanMetrics."""
+    from cudasp_tpu import scan_stream
+    from cudasp_tpu.runtime.executor import BatchExecutor
+
+    case = V.CASES[0]
+    table, expect = _big_table(case, 200)
+    orig = BatchExecutor.run
+
+    def run(self, *args, metrics=None, **kw):
+        out = orig(self, *args, metrics=metrics, **kw)
+        if metrics is not None:       # simulate a hi32 scan's extra fields
+            metrics.reverified_rows += 7
+            metrics.upload_mode = "hi32"
+        return out
+
+    monkeypatch.setattr(BatchExecutor, "run", run)
+    res = scan_stream(_chunks_of(table, 200, 100),
+                      case.scan_key_blob, case.spend_blob)
+    assert res.indices.tolist() == expect
+    assert res.metrics.reverified_rows == 14      # 7 per chunk, 2 chunks
+    assert res.metrics.upload_mode == "hi32"
