@@ -43,7 +43,7 @@ class ScanConfig:
     # pipeline, whose compile time scales with batch width).
     tile: Optional[int] = None
     # Pallas kernel lane-tile width (rows per grid step). None = measured
-    # default (512 on v5e); CUDASP_BLOCK_ROWS overrides for experiments.
+    # default (640 on v5e, r3 sweep); CUDASP_BLOCK_ROWS overrides.
     block_rows: Optional[int] = None
     # Scalar-ladder schedule for the Pallas kernel: "fixed" (odd-digit
     # fixed windows, 64 adds) or "wnaf" (interleaved width-5 wNAF, ~43
@@ -52,10 +52,13 @@ class ScanConfig:
     # more adds; the wnaf step's lax.cond serializes worse). CUDASP_LADDER
     # fills the "auto" default only (an explicit value wins).
     ladder: str = "auto"
-    # Batch upload width: "full" (exact 60 B/row), "hi32" (48 B/row hi32
-    # prefilter + exact re-verify of flagged rows), "auto" (measure batch 0
-    # and cut only when the H2D link is the bottleneck — the reference
-    # ships 64 B/row points alone, src/cudasp_extension.cu:159-163).
+    # Batch upload width: "full" (exact 60 B/row at 3 outputs), "hi32"
+    # (48 B/row hi-word prefilter + exact re-verify of flagged rows),
+    # "hi16" (42 B/row: top-16-bit match words packed two per uint32, same
+    # re-verify contract, ~2^-16 false-flag rate), or "auto" (measure
+    # batch 0 and cut to hi16 only when the H2D link is the bottleneck —
+    # the reference ships 64 B/row points alone,
+    # src/cudasp_extension.cu:159-163).
     # CUDASP_UPLOAD fills the "auto" default only (an explicit value wins).
     upload: str = "auto"
 
@@ -444,7 +447,7 @@ def _scan_impl(table, scan_private_key, spend_public_key, label_keys=(),
 
     compile_cache.ensure()
     block_rows = cfg.block_rows or int(
-        os.environ.get("CUDASP_BLOCK_ROWS", "512"))
+        os.environ.get("CUDASP_BLOCK_ROWS", "640"))
     # Env vars fill the "auto" defaults only — an explicitly-set
     # ScanConfig value always wins (same precedence as CUDASP_BLOCK_ROWS).
     ladder = cfg.ladder if cfg.ladder != "auto" else \

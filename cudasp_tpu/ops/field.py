@@ -367,6 +367,13 @@ def mul_x2(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return _reduce_cols(_product_cols(a, b), post=lambda s: s + s)
 
 
+def mul_x4(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """4*a*b (mod p): state <= 4.2e8 quadruples to <= 1.7e9 < 2^31. Used
+    for the doubling's D line — 2*((X+B)^2 - A - C) == 4*X*B exactly when
+    A = X^2, C = (Y^2)^2 — which drops the (X+B) add's lazy pass pair."""
+    return _reduce_cols(_product_cols(a, b), post=lambda s: (s + s) + (s + s))
+
+
 def sqr_sub2_dbl(r, h3, v) -> jnp.ndarray:
     """r^2 - h3 - 2v (mod p): the madd x3 line."""
     d8 = _d8_col()

@@ -184,11 +184,13 @@ def _madd_core(px, py, pz, qx, qy):
 
 
 def _dbl(px, py, pz):
-    """a=0 Jacobian doubling (2M+5S), raw coordinates."""
+    """a=0 Jacobian doubling (3M+4S), raw coordinates. The D line uses
+    D = 2*((X+B)^2 - A - C) == 4*X*B (A = X^2, C = B^2), trading the
+    (X+B) add's lazy pass pair for a same-cost fused product."""
     a = F.sqr(px)
     b = F.sqr(py)
     c = F.sqr(b)
-    d = F.sqr_dbl_sub2(F.add(px, b), a, c)
+    d = F.mul_x4(px, b)
     e = F.mul_small(a, 3)
     x3 = F.sqr_sub_dbl(e, d)
     y3 = F.mul_sub_scaled8(e, F.sub(d, x3), c)
@@ -495,12 +497,21 @@ def _scan_block(nlabels, nout, ladder, hi_only, digits_ref,
 
     zinvs = _inv_chain_raw([c[2] for c in cands])
     oh = oh_ref[:]
-    # hi_only: the lo-32 match words were not uploaded (the 60 B/row batch
-    # shrinks to 48 B/row when the H2D link is the bottleneck); flags are a
-    # SUPERSET of the exact flags (hi32 equality is necessary for a full
-    # match) and the executor re-verifies flagged rows in an exact second
-    # pass (runtime.executor._run_pallas). ~2^-32 false-flag rate per
-    # compared output entry.
+    # hi_only=True: the lo-32 match words were not uploaded (the 60 B/row
+    # batch shrinks to 48 B/row when the H2D link is the bottleneck);
+    # flags are a SUPERSET of the exact flags (hi32 equality is necessary
+    # for a full match) and the executor re-verifies flagged rows in an
+    # exact second pass (runtime.executor._run_pallas). ~2^-32 false-flag
+    # rate per compared output entry.
+    # hi_only="hi16": the upload shrinks further to the TOP 16 bits of
+    # each match value, two per uint32 word (42 B/row at 3 outputs);
+    # ~2^-16 false-flag rate, same exact-reverify contract.
+    if hi_only == "hi16":
+        # oh rows are packed pairs: word w = top16(out[2w]) |
+        # top16(out[2w+1]) << 16 (kernels.pack_batch_arrays)
+        oh = jnp.concatenate(
+            [(oh[j // 2 : j // 2 + 1] >> np.uint32(16 * (j % 2)))
+             & np.uint32(0xFFFF) for j in range(nout)], axis=0)
     ol = None if hi_only else ol_ref[:]
     # ovm bits: 0..M-1 = outputs_valid, 30 = y parity, 31 = row_valid
     ov = jnp.concatenate(
@@ -512,7 +523,9 @@ def _scan_block(nlabels, nout, ladder, hi_only, digits_ref,
         x_can = _canon2d(F.mul(cx, F.sqr(czi)))
         words = _words_be_2d(x_can)
         dead = cinf | _is_zero2d(cz)
-        eq = (words[0:1] == oh) & ov
+        w0 = (words[0:1] >> np.uint32(16) if hi_only == "hi16"
+              else words[0:1])
+        eq = (w0 == oh) & ov
         if not hi_only:
             eq = eq & (words[1:2] == ol)
         hit = hit | (jnp.any(eq, axis=0, keepdims=True) & ~dead)
@@ -523,14 +536,15 @@ def _scan_block(nlabels, nout, ladder, hi_only, digits_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("nlabels", "block_rows", "interpret",
-                                    "ladder", "hi_only"))
+                                    "ladder", "hi_only", "nout"))
 def _scan_pallas_call(tweak_words, outputs_hi, outputs_lo, outputs_mask,
                       digits, spend_x, spend_y,
                       label_x, label_y, comb, blockmask=None, *, nlabels,
                       block_rows, interpret=False, ladder="fixed",
-                      hi_only=False):
+                      hi_only=False, nout=None):
     B = tweak_words.shape[1]
-    M = outputs_hi.shape[0]
+    Mp = outputs_hi.shape[0]          # uploaded oh rows (packed for hi16)
+    M = Mp if nout is None else int(nout)   # real outputs per row
     L = label_x.shape[0]
     N = F.NLIMBS
     # blockmask=None compiles WITHOUT the per-block skip branch (the
@@ -555,14 +569,14 @@ def _scan_pallas_call(tweak_words, outputs_hi, outputs_lo, outputs_mask,
     lxw = jnp.broadcast_to(label_x, (L, N, block_rows))
     lyw = jnp.broadcast_to(label_y, (L, N, block_rows))
     # hi_only drops the lo-32 match plane from the upload (outputs_lo is a
-    # (M, 1) dummy); the executor re-verifies flagged rows exactly.
-    lo_spec = fixed((M, 1)) if hi_only else col_block(M)
+    # dummy); the executor re-verifies flagged rows exactly.
+    lo_spec = fixed(tuple(outputs_lo.shape)) if hi_only else col_block(M)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2 if skip else 1,
         grid=(B // block_rows,),
         in_specs=[
             col_block(8),                        # raw LE x words (compressed)
-            col_block(M), lo_spec,               # outputs hi/lo
+            col_block(Mp), lo_spec,              # outputs hi/lo
             col_block(1),                        # validity bitmask
             fixed((N, block_rows)), fixed((N, block_rows)),        # spend
             fixed((L, N, block_rows)), fixed((L, N, block_rows)),  # labels
@@ -596,7 +610,7 @@ def _scan_pallas_call(tweak_words, outputs_hi, outputs_lo, outputs_mask,
 
 @functools.lru_cache(maxsize=32)
 def _sharded_scan_fn(mesh, nlabels, block_rows, interpret, skip=False,
-                     ladder="fixed", hi_only=False):
+                     ladder="fixed", hi_only=False, nout=None):
     """shard_map-wrapped scan over the mesh's 'data' axis: each chip runs
     the Pallas grid over its local row shard; no collectives are needed
     inside the kernel (rows are independent — SURVEY.md §2.4). This is the
@@ -615,7 +629,7 @@ def _sharded_scan_fn(mesh, nlabels, block_rows, interpret, skip=False,
     fn = jax.shard_map(
         functools.partial(_scan_pallas_call, nlabels=nlabels,
                           block_rows=block_rows, interpret=interpret,
-                          ladder=ladder, hi_only=hi_only),
+                          ladder=ladder, hi_only=hi_only, nout=nout),
         mesh=mesh,
         in_specs=specs,
         out_specs=lane,
@@ -628,7 +642,7 @@ def scan_pallas_sharded(mesh, tweak_words, outputs_hi, outputs_lo,
                         outputs_mask, digits, spend_x, spend_y,
                         label_x, label_y, comb, blockmask=None, *, nlabels,
                         block_rows=256, interpret=False, ladder="fixed",
-                        hi_only=False):
+                        hi_only=False, nout=None):
     """Multi-chip fused scan: batch lanes sharded over mesh axis 'data'.
     B must be a multiple of n_devices * block_rows. blockmask: (B //
     block_rows,) int32, nonzero where the block has live rows (lanes are
@@ -641,7 +655,10 @@ def scan_pallas_sharded(mesh, tweak_words, outputs_hi, outputs_lo,
             f"{block_rows} block rows")
     fn = _sharded_scan_fn(mesh, int(nlabels), int(block_rows),
                           bool(interpret), blockmask is not None,
-                          str(ladder), bool(hi_only))
+                          str(ladder),
+                          hi_only if isinstance(hi_only, str)
+                          else bool(hi_only),
+                          None if nout is None else int(nout))
     args = (tweak_words, outputs_hi, outputs_lo, outputs_mask, digits,
             spend_x, spend_y, label_x, label_y, comb)
     if blockmask is not None:
@@ -677,6 +694,11 @@ def pack_batch_arrays(tweak_blobs, row_valid, outputs_hi, outputs_lo,
     hi_only=True replaces ol with a (M, 1) dummy (48 B/row at 3 outputs):
     the kernel then matches on hi32 words only and the executor re-checks
     flagged rows exactly (VERDICT r1 lever 1, the upload cut).
+
+    hi_only="hi16" additionally packs the oh plane down to the TOP 16
+    bits of each match value, two per uint32 row (42 B/row at 3 outputs):
+    row w = top16(out[2w]) | top16(out[2w+1]) << 16. The kernel needs the
+    real output count via its `nout` static arg in this mode.
     """
     B = int(tweak_blobs.shape[0])
     M = int(outputs_hi.shape[1])
@@ -702,11 +724,19 @@ def pack_batch_arrays(tweak_blobs, row_valid, outputs_hi, outputs_lo,
         ovm |= ov[:, j].astype(np.uint32) << np.uint32(j)
     ovm |= (blobs[:, 32] & np.uint8(1)).astype(np.uint32) << np.uint32(30)
     ovm |= np.asarray(row_valid).astype(np.uint32) << np.uint32(31)
-    lo = (np.zeros((M, 1), np.uint32) if hi_only else
+    oh = np.ascontiguousarray(np.asarray(outputs_hi).T).view(np.uint32)
+    if hi_only == "hi16":
+        top = oh >> np.uint32(16)                       # (M, B) top-16s
+        Mp = (M + 1) // 2
+        packed = np.zeros((Mp, B), np.uint32)
+        for j in range(M):
+            packed[j // 2] |= top[j] << np.uint32(16 * (j % 2))
+        oh = packed
+    lo = (np.zeros((oh.shape[0], 1), np.uint32) if hi_only else
           padB(np.ascontiguousarray(np.asarray(outputs_lo).T).view(np.uint32)))
     return (
         padB(words),
-        padB(np.ascontiguousarray(np.asarray(outputs_hi).T).view(np.uint32)),
+        padB(oh),
         lo,
         padB(ovm[None, :]),
     )

@@ -29,6 +29,30 @@ from .errors import ExecutionError
 from .metrics import ScanMetrics, Timer
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=32)
+def _plane_splitter(sizes):
+    """Jitted device-side row-splitter for a combined (sum(sizes), W)
+    upload buffer. The axon tunnel pays a large per-transfer constant and
+    degrades under concurrent transfers (tools/h2d_probe: 2 parallel
+    streams run at 9 MB/s vs 42 single), so the feeder ships each batch
+    as ONE contiguous array and slices it back apart on device."""
+    import jax
+
+    @jax.jit
+    def split(b):
+        outs = []
+        at = 0
+        for s in sizes:
+            outs.append(jax.lax.slice_in_dim(b, at, at + s, axis=0))
+            at += s
+        return tuple(outs)
+
+    return split
+
+
 def _default_backend(mesh) -> str:
     # CPU has no Pallas TPU backend (tests use interpret mode explicitly);
     # on TPU the fused kernel is the production path, single- or multi-chip
@@ -39,12 +63,25 @@ def _default_backend(mesh) -> str:
 class BatchExecutor:
     """Runs packed batches on one device or a data-sharded mesh."""
 
+    # Process-wide memo of upload="auto"'s measured decision. The
+    # measurement costs one serialized batch (the batch-0 kernel is timed
+    # with the pipeline drained — ~15% of a 1M-row scan), so only the
+    # first auto scan of a process pays it; later scans reuse the verdict
+    # (the link/kernel ratio is a property of the host+chip pair, not of
+    # one scan). The density veto still updates it mid-scan.
+    _auto_memo: dict = {}
+    # Process-wide registry of kernel variants known compiled (filled by
+    # the prewarm thread). A later scan whose hi32 variant is already here
+    # ships hi32 from batch 0 — without this, each scan's hi_ready gate
+    # starts cold and short scans never apply the measured decision.
+    _warm_keys: set = set()
+
     def __init__(self, mesh=None, fused: bool = False,
-                 backend: str = "auto", block_rows: int = 512,
+                 backend: str = "auto", block_rows: int = 640,
                  rebalance: bool = False, ladder: str = "auto",
                  upload: str = "auto"):
-        # block_rows=512 is the measured v5e sweet spot (256: -7%,
-        # 768: -2.5%, 1024: VMEM pressure fails compilation)
+        # block_rows=640 is the measured v5e sweet spot (r3 sweep:
+        # 512: -2.2%, 768: -4.2%, 1024: VMEM pressure fails compilation)
         self._shardings = None
         if mesh is not None:
             from ..parallel.mesh import BatchShardings
@@ -167,44 +204,51 @@ class BatchExecutor:
         # time the upload truly: on the axon tunnel block_until_ready does
         # not block), so it only runs when metrics are being emitted.
         detail = metrics is not None and bool(os.environ.get("CUDASP_METRICS"))
-        # hi32 upload-cut state (VERDICT r1 lever 1). "auto" ships batch 0
-        # full while measuring its upload and kernel times; if the H2D link
-        # is the bottleneck, later batches drop the lo-32 match plane
-        # (60 -> 48 B/row at 3 outputs) and flagged rows get an exact
-        # second pass. The rebalanced-exchange path always ships full.
+        # Upload-cut state (VERDICT r1 lever 1 + r3 hi16). "auto" ships
+        # batch 0 full while measuring its upload and kernel times; if the
+        # H2D link is the bottleneck, later batches drop the lo-32 match
+        # plane and pack the hi words to 16 bits (60 -> 42 B/row at 3
+        # outputs) and flagged rows get an exact second pass. The
+        # rebalanced-exchange path always ships full. Explicit modes:
+        # "hi32" (48 B/row) and "hi16" (42 B/row).
         #
         # The flip NEVER compiles inside the scan (BENCH_r02's 222 s first
         # run was exactly that): "want" records the measured preference and
         # the feeder applies it only once the background prewarm thread has
-        # compiled the hi_only program (hi_ready). Until then batches ship
-        # full through the already-compiled program.
+        # compiled the cut-variant program (hi_ready). Until then batches
+        # ship full through the already-compiled program.
         auto = self._upload == "auto" and not rebalance and not interpret
         hi_ready = threading.Event()
+        memo = BatchExecutor._auto_memo
         upload_state = {
-            "mode": "hi32" if (self._upload == "hi32" and not rebalance)
-                    else "full",     # explicit modes apply immediately
-            "want": None,             # auto's measured preference
+            "mode": (self._upload
+                     if self._upload in ("hi32", "hi16") and not rebalance
+                     else "full"),    # explicit modes apply immediately
+            "want": ("hi16" if memo.get("decision") == "hi16" else None)
+                    if auto else None,
             "uploads": [],            # measured early H2D seconds (auto)
             "kernel0": None,          # measured batch-0 kernel seconds
-            "hi_rows": 0,             # hi32 rows scanned (density feedback)
+            "hi_rows": 0,             # cut-mode rows (density feedback)
             "flagged": 0,             # ...of which needed the exact pass
         }
+        # only the first auto scan of the process measures; the rest reuse
+        measure = auto and memo.get("decision") is None
 
         def _decide():
             """Re-evaluate the upload mode from the cleanest measurements
             so far: min of the early upload timings (the first transfer
             pays tunnel/runtime spin-up and over-reads) vs the bare batch-0
             kernel time. Timings are scaled to full-plane bytes so a
-            48 B/row hi32 measurement doesn't bias the comparison."""
+            cut-mode measurement doesn't bias the comparison."""
             k0 = upload_state["kernel0"]
             ups = upload_state["uploads"]
             if k0 is None or not ups:
                 return
             up = min(u * full / sent for u, sent, full in ups)
             if upload_state["want"] != "full":   # density veto is sticky
-                upload_state["want"] = "hi32" if up > 1.15 * k0 else None
+                upload_state["want"] = "hi16" if up > 1.15 * k0 else None
 
-        def dispatch(dev, bmask, hi_only=False):
+        def dispatch(dev, bmask, hi_only=False, nout=None):
             if rebalance:
                 from ..parallel import exchange
 
@@ -217,11 +261,11 @@ class BatchExecutor:
                 return K._scan_pallas_call(
                     *dev, digits, sx, sy, lx, ly, comb, bmask,
                     nlabels=nlabels, block_rows=br, ladder=ladder,
-                    hi_only=hi_only)
+                    hi_only=hi_only, nout=nout)
             return K.scan_pallas_sharded(
                 mesh, *dev, digits, sx, sy, lx, ly, comb, bmask,
                 nlabels=nlabels, block_rows=br, interpret=interpret,
-                ladder=ladder, hi_only=hi_only)
+                ladder=ladder, hi_only=hi_only, nout=nout)
 
         # Host packing + H2D upload run on a feeder thread so the transfer
         # of batch i+1 rides alongside the kernel of batch i (the role of
@@ -243,6 +287,29 @@ class BatchExecutor:
                     continue
             return False
 
+        def vkey(width, M, tag):
+            """Identity of one compiled kernel variant (jit-signature-ish)."""
+            return (mesh, nlabels, br, ladder, int(width), int(M), tag)
+
+        def upload_planes(planes, hi_only):
+            """One combined H2D transfer per batch + device-side split.
+            The (Mp, 1) dummy lo plane of the cut modes never crosses the
+            link at all (zeros are created on device)."""
+            wide = ([planes[0], planes[1], planes[3]] if hi_only
+                    else [planes[0], planes[1], planes[2], planes[3]])
+            big = np.concatenate(wide, axis=0)
+            devb = jax.device_put(big, lane_sh)
+            parts = _plane_splitter(tuple(p.shape[0] for p in wide))(devb)
+            if hi_only:
+                lo = jnp.zeros(planes[2].shape, jnp.uint32)
+                if mesh is not None:
+                    from jax.sharding import NamedSharding, PartitionSpec
+
+                    lo = jax.device_put(lo, NamedSharding(
+                        mesh, PartitionSpec(None, None)))
+                return (parts[0], parts[1], lo, parts[2])
+            return parts
+
         def prewarm(width, M):
             """Background compile of the kernel variants this scan may
             still dispatch, via dummy calls on zero planes of the exact
@@ -262,15 +329,20 @@ class BatchExecutor:
                             if lane_sh is not None else z)
 
                 variants = []
-                if auto or upload_state["mode"] == "hi32":
-                    variants.append(True)             # hi_only, skip-free
+                if upload_state["mode"] in ("hi32", "hi16"):
+                    variants.append(upload_state["mode"])
+                elif auto and memo.get("decision") != "full":
+                    variants.append("hi16")           # auto's cut variant
                 variants.append(None)                 # full, skip (tail)
                 nblk = width // br
                 for hi in variants:
                     if stop.is_set():
                         return
-                    dev = (zdev((8, width)), zdev((M, width)),
-                           zdev((M, 1 if hi else width)),
+                    hi_val = (True if hi == "hi32" else
+                              "hi16" if hi == "hi16" else False)
+                    Mp = (M + 1) // 2 if hi == "hi16" else M
+                    dev = (zdev((8, width)), zdev((Mp, width)),
+                           zdev((Mp, 1) if hi else (M, width)),
                            zdev((1, width)))
                     bmask = None
                     if hi is None:                    # tail/skip variant
@@ -280,8 +352,11 @@ class BatchExecutor:
                         if mesh is not None:
                             bmask = jax.device_put(bmask, NamedSharding(
                                 mesh, PartitionSpec("data")))
-                    jax.block_until_ready(
-                        dispatch(dev, bmask, hi_only=bool(hi)))
+                    jax.block_until_ready(dispatch(
+                        dev, bmask, hi_only=hi_val,
+                        nout=M if hi == "hi16" else None))
+                    BatchExecutor._warm_keys.add(
+                        vkey(width, M, hi if hi else "skip"))
                     if hi:
                         hi_ready.set()
             except Exception:                         # pragma: no cover
@@ -302,17 +377,30 @@ class BatchExecutor:
                     n = blobs.shape[0]
                     width = max(width, pad_to,
                                 ((n + pad_to - 1) // pad_to) * pad_to)
+                    cut_tag = (upload_state["mode"]
+                               if upload_state["mode"] in ("hi32", "hi16")
+                               else "hi16")
+                    if i == 0 and vkey(width, b.outputs_hi.shape[1],
+                                       cut_tag) in BatchExecutor._warm_keys:
+                        # a previous scan compiled this cut program: the
+                        # measured decision can apply from batch 0
+                        hi_ready.set()
                     n_live = int(b.row_valid.sum())
                     will_skip = (not rebalance and
                                  K.live_blockmask(n_live, width // br, br)
                                  is not None)
-                    # hi32 applies to skip-free batches only (the tail
-                    # ships full: one fewer kernel variant to compile) and,
-                    # under auto, only once the prewarm compile is done
-                    hi_only = not will_skip and (
-                        upload_state["mode"] == "hi32"
-                        or (upload_state["want"] == "hi32"
-                            and hi_ready.is_set()))
+                    # the upload cut applies to skip-free batches only (the
+                    # tail ships full: one fewer kernel variant to compile)
+                    # and, under auto, only once its program is compiled
+                    cut = upload_state["mode"] in ("hi32", "hi16") or (
+                        upload_state["want"] == "hi16"
+                        and hi_ready.is_set())
+                    hi_only = False
+                    if cut and not will_skip:
+                        hi_only = (True if upload_state["mode"] == "hi32"
+                                   else "hi16")
+                        upload_state["cut_used"] = (
+                            "hi32" if hi_only is True else "hi16")
                     planes = K.pack_batch_arrays(
                         blobs, b.row_valid, b.outputs_hi,
                         b.outputs_lo, b.outputs_valid, width,
@@ -329,17 +417,20 @@ class BatchExecutor:
                             np.ascontiguousarray(shi[None]),
                             np.ascontiguousarray(slo[None]))
                     t0 = time.perf_counter()
-                    dev = tuple(jax.device_put(a, lane_sh) for a in planes)
-                    if detail or (auto and i < 4):
+                    dev = (tuple(jax.device_put(a, lane_sh)
+                                 for a in planes) if rebalance
+                           else upload_planes(planes, hi_only))
+                    if detail or (measure and i < 4):
                         # force transfer completion with a tiny D2H read
                         np.asarray(dev[0][:1, :1])
                         dt = time.perf_counter() - t0
-                        if auto and i < 4:
+                        if measure and i < 4:
                             sent = sum(a.nbytes for a in planes)
-                            full = sent + (
-                                b.outputs_hi.shape[1] * 4
-                                * planes[0].shape[1] - planes[2].nbytes
-                                if hi_only else 0)
+                            # full-plane bytes for this width/M (what a
+                            # mode="full" batch of the same shape ships)
+                            M_real = b.outputs_hi.shape[1]
+                            w = planes[0].shape[1]
+                            full = 4 * w * (8 + 2 * M_real + 1)
                             upload_state["uploads"].append(
                                 (dt, sent, full))
                             _decide()
@@ -366,7 +457,8 @@ class BatchExecutor:
                                 bmask,
                                 NamedSharding(mesh, PartitionSpec("data")))
                     payload = b if hi_only else None
-                    if not put((i, n, (dev, bmask), srcs, payload)):
+                    if not put((i, n, (dev, bmask), srcs, payload,
+                                hi_only)):
                         return
             except Exception as e:                      # noqa: BLE001
                 put(e)
@@ -450,7 +542,8 @@ class BatchExecutor:
                         bmask = jax.device_put(
                             bmask,
                             NamedSharding(mesh, PartitionSpec("data")))
-                dev = tuple(jax.device_put(a, lane_sh) for a in planes)
+                dev = (tuple(jax.device_put(a, lane_sh) for a in planes)
+                       if rebalance else upload_planes(planes, False))
                 f = dispatch(dev, bmask, hi_only=False)
                 exact[bslice] = np.asarray(f)[0, :nsub] != 0
             at = 0
@@ -472,16 +565,18 @@ class BatchExecutor:
                     break
                 if isinstance(item, Exception):
                     raise ExecutionError(nb, item) from item
-                i, n, (dev, bmask), srcs, payload = item
+                i, n, (dev, bmask), srcs, payload, hi_val = item
                 scan_width = max(scan_width, dev[0].shape[1])
                 nb += 1
                 try:
-                    flags = dispatch(dev, bmask,
-                                     hi_only=payload is not None)
+                    flags = dispatch(
+                        dev, bmask, hi_only=hi_val,
+                        nout=(payload.outputs_hi.shape[1]
+                              if hi_val == "hi16" else None))
                 except Exception as e:                  # noqa: BLE001
                     raise ExecutionError(i, e) from e
                 in_flight.append((n, flags, srcs, payload))
-                if auto and i == 0:
+                if measure and i == 0:
                     # measure the bare kernel on batch 0: dispatch()
                     # returned after compilation, inputs are resident (the
                     # feeder synced the transfer), the device is otherwise
@@ -497,9 +592,11 @@ class BatchExecutor:
                     # background-compile the variants this scan may still
                     # need (after the kernel0 measurement, which must see
                     # an otherwise-idle device)
+                    M_real = (payload.outputs_hi.shape[1]
+                              if payload is not None else dev[1].shape[0])
                     threading.Thread(
                         target=prewarm,
-                        args=(dev[0].shape[1], dev[1].shape[0]),
+                        args=(dev[0].shape[1], M_real),
                         daemon=True).start()
                 while len(in_flight) > 3:
                     read_back(in_flight.pop(0))
@@ -522,10 +619,16 @@ class BatchExecutor:
 
                 if sys.exc_info()[0] is None:    # don't mask a live error
                     raise RuntimeError("feeder thread failed to shut down")
+        if auto:
+            memo["decision"] = ("hi16" if upload_state["want"] == "hi16"
+                                else "full")
         if metrics is not None:
             metrics.device_seconds += timer.lap()
             metrics.batches += nb
-            metrics.upload_mode = (
-                "hi32" if (upload_state["hi_rows"]
-                           or upload_state["mode"] == "hi32") else "full")
+            if upload_state["hi_rows"]:
+                metrics.upload_mode = upload_state.get("cut_used", "hi16")
+            elif upload_state["mode"] in ("hi32", "hi16"):
+                metrics.upload_mode = upload_state["mode"]
+            else:
+                metrics.upload_mode = "full"
         return [tuple(r) for r in results]

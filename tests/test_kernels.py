@@ -257,7 +257,7 @@ def test_pallas_sharded_lane_split(monkeypatch):
 
     def stub(tw, oh, ol, ovm, digits, sx, sy, lx, ly, comb, blockmask=None,
              *, nlabels, block_rows, interpret=False, ladder="fixed",
-             hi_only=False):
+             hi_only=False, nout=None):
         # flags = low word of the tweak plane + validity bit: proves the
         # shard saw its own lanes of both a wide and a (1, B) plane
         return (tw[:1] + ovm).astype(jnp.int32)

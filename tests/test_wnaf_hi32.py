@@ -125,7 +125,7 @@ def test_executor_hi32_reverify_exact(monkeypatch):
 
     def fake_kernel(tw, oh_p, ol_p, ovm, digits, sx, sy, lxq, lyq, comb,
                     bmask=None, *, nlabels, block_rows, interpret=False,
-                    ladder="fixed", hi_only=False):
+                    ladder="fixed", hi_only=False, nout=None):
         calls["hi" if hi_only else "full"] += 1
         tw = np.asarray(tw)
         oh_p = np.asarray(oh_p)
@@ -161,3 +161,40 @@ def test_executor_hi32_reverify_exact(monkeypatch):
                if results else np.zeros(0, np.int64))
     assert set(matched.tolist()) == true_rows
     assert calls["hi"] >= 1 and calls["full"] >= 1     # reverify ran
+
+
+@pytest.mark.skipif(jax.default_backend() == "tpu",
+                    reason="interpret parity is the CPU-side check")
+def test_pallas_hi16_interpret_parity():
+    """hi16 upload cut (42 B/row): golden parity on the label case AND the
+    superset property — rows whose match value is corrupted anywhere BELOW
+    the top 16 bits still flag (the exact pass is the executor's job)."""
+    import jax.numpy as jnp
+    from cudasp_tpu.oracle import vectors as V
+    from cudasp_tpu.oracle.encoding import blob32_to_scalar
+    from cudasp_tpu.ops import kernels as K
+    from tests.test_kernels import _kernel_case_arrays
+
+    case = V.CASES[3]
+    B = 128
+    (tweaks, oh, ol, ov, expect,
+     sx, sy, lx, ly, nl, digits) = _kernel_case_arrays(case, B)
+    M = oh.shape[1]
+
+    def run(oh_, ol_):
+        planes = K.pack_batch_arrays(tweaks, np.ones(B, bool), oh_, ol_,
+                                     ov, 128, hi_only="hi16")
+        assert planes[1].shape[0] == (M + 1) // 2     # packed pairs
+        flags = np.asarray(K._scan_pallas_call(
+            *(jnp.asarray(a) for a in planes), jnp.asarray(digits),
+            jnp.asarray(sx), jnp.asarray(sy), jnp.asarray(lx),
+            jnp.asarray(ly), K.comb_table_f32(), nlabels=nl,
+            block_rows=128, interpret=True, ladder="fixed",
+            hi_only="hi16", nout=M))
+        return flags[0, :B] != 0
+
+    assert np.array_equal(run(oh, ol), expect)                # parity
+    # corrupt below the top 16 bits: lo word entirely + low 16 of hi
+    oh_bad = oh ^ np.where(ov, 0x5A5A, 0).astype(np.int32)
+    ol_bad = ol ^ np.where(ov, -1, 0).astype(np.int32)
+    assert np.array_equal(run(oh_bad, ol_bad), expect)        # superset

@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Baseline-scale benchmark curve: mirrors the reference's published table
+(1M / 9.4M / 32.7M rows, /root/reference/README.md:130-134) plus one
+labeled point (the reference's label loop is its most expensive kernel,
+src/cudasp_gpu.cu:134-172). Each point runs bench.py in-process logic via
+subprocess so every row count gets a fresh interpreter (clean device
+state); results land in BENCH_CURVE.json at the repo root.
+
+Usage: python tools/bench_curve.py [--points 1000000 9400000 32700000]
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+REFERENCE = {                     # rows -> reference tx/s (README.md:130-134)
+    1_000_000: 1_989_401.0,
+    2_300_000: 2_265_266.0,
+    5_000_000: 2_198_706.0,
+    9_400_000: 2_596_475.0,
+    32_700_000: 2_622_216.0,
+}
+
+
+def run_point(rows, labels=0, repeats=3):
+    cmd = [sys.executable, os.path.join(ROOT, "bench.py"),
+           "--rows", str(rows), "--repeats", str(repeats)]
+    if labels:
+        cmd += ["--labels", str(labels)]
+    if rows > 4_000_000:
+        cmd += ["--no-kernel-only"]          # measured at the 1M point
+    print(f"# running: {' '.join(cmd)}", file=sys.stderr, flush=True)
+    out = subprocess.run(cmd, capture_output=True, text=True, cwd=ROOT)
+    sys.stderr.write(out.stderr[-2000:])
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+    rec = json.loads(line[-1]) if line else {"error": out.stderr[-500:]}
+    rec["labels"] = labels
+    ref = REFERENCE.get(rows)
+    if ref and "value" in rec:
+        rec["vs_reference_point"] = round(rec["value"] / ref, 4)
+    return rec
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--points", type=int, nargs="*",
+                    default=[1_000_000, 9_400_000, 32_700_000])
+    ap.add_argument("--labeled-rows", type=int, default=1_000_000)
+    ap.add_argument("--out", default=os.path.join(ROOT, "BENCH_CURVE.json"))
+    args = ap.parse_args()
+
+    records = []
+    for rows in args.points:
+        records.append(run_point(rows))
+        print(json.dumps(records[-1]), flush=True)
+    if args.labeled_rows:
+        records.append(run_point(args.labeled_rows, labels=1))
+        print(json.dumps(records[-1]), flush=True)
+
+    with open(args.out, "w") as f:
+        json.dump(records, f, indent=1)
+    print(f"# wrote {args.out}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
