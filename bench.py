@@ -55,7 +55,11 @@ def make_dataset(n_rows, pool=256, match_every=100, outputs_per_row=3,
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--rows", type=int, default=1_000_000)
+    # default = the reference's headline dataset (32.7M rows, 12.5 s,
+    # README.md:134) so vs_baseline compares like for like; larger scans
+    # also amortize pipeline fill and average out the tunnel's bandwidth
+    # drift (tools/bench_curve.py records the smaller points)
+    ap.add_argument("--rows", type=int, default=32_700_000)
     ap.add_argument("--batch-size", type=int, default=262_144)
     ap.add_argument("--labels", type=int, default=0)
     ap.add_argument("--pool", type=int, default=256)
