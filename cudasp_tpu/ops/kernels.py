@@ -294,7 +294,7 @@ def _limbs_from_words(w):
 def _scan_kernel(nlabels, nout, ladder, hi_only, digits_ref, bmask_ref,
                  tw_ref, oh_ref, ol_ref, ovm_ref,
                  sx_ref, sy_ref, lx_ref, ly_ref, comb_ref,
-                 out_ref, tabx, taby, sbytes_ref):
+                 out_ref, tabx, taby):
     """Grid-step dispatcher: blocks whose validity mask says "no live rows"
     (bmask_ref, scalar-prefetched) skip the entire EC pipeline — padding
     tiles of a ragged batch and post-exchange empty shards cost one flag
@@ -311,13 +311,13 @@ def _scan_kernel(nlabels, nout, ladder, hi_only, digits_ref, bmask_ref,
         _scan_block(nlabels, nout, ladder, hi_only, digits_ref,
                     tw_ref, oh_ref, ol_ref, ovm_ref,
                     sx_ref, sy_ref, lx_ref, ly_ref, comb_ref,
-                    out_ref, tabx, taby, sbytes_ref)
+                    out_ref, tabx, taby)
 
 
 def _scan_block(nlabels, nout, ladder, hi_only, digits_ref,
                 tw_ref, oh_ref, ol_ref, ovm_ref,
                 sx_ref, sy_ref, lx_ref, ly_ref, comb_ref,
-                out_ref, tabx, taby, sbytes_ref):
+                out_ref, tabx, taby):
     """One row tile, tweak words -> match flags, fully VMEM-resident.
     (A split ladder/finish two-kernel variant was measured ~7% slower at
     786K rows — the HBM round-trip of the Jacobian plane plus the second
@@ -339,7 +339,20 @@ def _scan_block(nlabels, nout, ladder, hi_only, digits_ref,
     garbage-out; neither can produce a golden match, but the garbage
     differs across backends."""
     tw = tw_ref[:]                     # (8, BT) uint32: LE x words
-    ovm = ovm_ref[:]                   # (1, BT) uint32 bitmask (see below)
+    if hi_only == "hi16":
+        # hi16 ships NO separate validity plane: the 16-bit unit after the
+        # M match units carries ovm16 = valid bits 0..M-1 | parity << 14 |
+        # row_valid << 15 (pack_batch_arrays). Rebuild the uint32-bitmask
+        # form so the rest of the kernel is mode-agnostic.
+        u = nout
+        ovm16 = ((oh_ref[u // 2 : u // 2 + 1] >> np.uint32(16 * (u % 2)))
+                 & np.uint32(0xFFFF))
+        ovm = ((ovm16 & np.uint32((1 << nout) - 1))
+               | (((ovm16 >> np.uint32(14)) & np.uint32(1))
+                  << np.uint32(30))
+               | ((ovm16 >> np.uint32(15)) << np.uint32(31)))
+    else:
+        ovm = ovm_ref[:]               # (1, BT) uint32 bitmask (see below)
     bx = _limbs_from_words(tw)
     seven = F.literal_planes(F.int_to_limbs(7), bx.shape[1])
     y0 = _canon2d(F.sqrt_candidate(F.add(F.mul(F.sqr(bx), bx), seven)))
@@ -451,19 +464,22 @@ def _scan_block(nlabels, nout, ladder, hi_only, digits_ref,
     y_aff = _canon2d(F.mul(ey, F.mul(zi, zi2)))
     parity = (y_aff[0:1] & 1).astype(jnp.uint32)
     hw = _tagged_hash_2d(_words_be_2d(x_aff), parity)
-    # staged through scratch: Mosaic only supports dynamic indexing on refs
-    sbytes_ref[:] = _bytes_from_words_2d(hw)       # (32, BT) int32
+    sb = _bytes_from_words_2d(hw)                  # (32, BT) int32 value
 
     # ---- fixed-base comb: t x G via one-hot MXU selects (replaces
-    # ECDSACONST.d_mul_table walks, src/cudasp_gpu.cu:317-354)
+    # ECDSACONST.d_mul_table walks, src/cudasp_gpu.cu:317-354). The 32
+    # windows are UNROLLED so the hash-byte and table reads are static
+    # slices: the previous fori_loop staged the bytes through a VMEM
+    # scratch read with a dynamic sublane index, which Mosaic lowers ~3x
+    # slower than the direct path (tools/stage_profile: 229 vs 81 us/tile).
     bt = ex.shape[1]
     iota = jax.lax.broadcasted_iota(jnp.int32, (256, bt), 0)
 
-    def comb_window(i, carry):
-        px, py, pz, pinf_i = carry
+    px, py, pz, pinf_i = zeros, zeros, zeros, inf0
+    for i in range(32):
         pinf = pinf_i != 0
         tab = comb_ref[i]                          # (2*NLIMBS, 256) f32
-        byte = sbytes_ref[pl.ds(i, 1), :]                   # (1, BT)
+        byte = sb[i : i + 1]                       # (1, BT), static slice
         onehot = (iota == byte).astype(jnp.float32)
         sel = jax.lax.dot_general(
             tab, onehot,
@@ -477,10 +493,8 @@ def _scan_block(nlabels, nout, ladder, hi_only, digits_ref,
         px = _sel(qinf, px, _sel(pinf, qx, ax))
         py = _sel(qinf, py, _sel(pinf, qy, ay))
         pz = _sel(qinf, pz, _sel(pinf, one, az))
-        return px, py, pz, (pinf & qinf).astype(jnp.int32)
-
-    ox, oy, oz, oinf_i = jax.lax.fori_loop(
-        0, 32, comb_window, (zeros, zeros, zeros, inf0))
+        pinf_i = (pinf & qinf).astype(jnp.int32)
+    ox, oy, oz, oinf_i = px, py, pz, pinf_i
     oinf = oinf_i != 0
 
     # ---- + spend, + labels, upper-64 semi-join (src/cudasp_gpu.cu:74-178)
@@ -569,15 +583,18 @@ def _scan_pallas_call(tweak_words, outputs_hi, outputs_lo, outputs_mask,
     lxw = jnp.broadcast_to(label_x, (L, N, block_rows))
     lyw = jnp.broadcast_to(label_y, (L, N, block_rows))
     # hi_only drops the lo-32 match plane from the upload (outputs_lo is a
-    # dummy); the executor re-verifies flagged rows exactly.
+    # dummy); the executor re-verifies flagged rows exactly. hi16 also
+    # folds the validity bitmask into the packed plane (ovm is a dummy).
     lo_spec = fixed(tuple(outputs_lo.shape)) if hi_only else col_block(M)
+    ovm_spec = (fixed(tuple(outputs_mask.shape))
+                if outputs_mask.shape[1] == 1 else col_block(1))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2 if skip else 1,
         grid=(B // block_rows,),
         in_specs=[
             col_block(8),                        # raw LE x words (compressed)
             col_block(Mp), lo_spec,              # outputs hi/lo
-            col_block(1),                        # validity bitmask
+            ovm_spec,                            # validity bitmask
             fixed((N, block_rows)), fixed((N, block_rows)),        # spend
             fixed((L, N, block_rows)), fixed((L, N, block_rows)),  # labels
             fixed((32, 2 * N, 256)),             # comb table
@@ -586,7 +603,6 @@ def _scan_pallas_call(tweak_words, outputs_hi, outputs_lo, outputs_mask,
         scratch_shapes=[
             pltpu.VMEM((2, 8, N, block_rows), jnp.int32),   # table x
             pltpu.VMEM((2, 8, N, block_rows), jnp.int32),   # table +-y
-            pltpu.VMEM((32, block_rows), jnp.int32),        # hash bytes
         ],
     )
     kern = (functools.partial(_scan_kernel, nlabels, M, ladder, hi_only)
@@ -622,8 +638,9 @@ def _sharded_scan_fn(mesh, nlabels, block_rows, interpret, skip=False,
     lane = P(None, "data")
     rep2 = P(None, None)
     rep3 = P(None, None, None)
-    lo = rep2 if hi_only else lane      # hi_only ships a (M, 1) dummy lo
-    specs = (lane, lane, lo, lane, rep2, rep2, rep2, rep3, rep3, rep3)
+    lo = rep2 if hi_only else lane      # hi_only ships a dummy lo
+    ovm = rep2 if hi_only == "hi16" else lane   # hi16: dummy ovm too
+    specs = (lane, lane, lo, ovm, rep2, rep2, rep2, rep3, rep3, rep3)
     if skip:
         specs = specs + (P("data"),)
     fn = jax.shard_map(
@@ -696,9 +713,12 @@ def pack_batch_arrays(tweak_blobs, row_valid, outputs_hi, outputs_lo,
     flagged rows exactly (VERDICT r1 lever 1, the upload cut).
 
     hi_only="hi16" additionally packs the oh plane down to the TOP 16
-    bits of each match value, two per uint32 row (42 B/row at 3 outputs):
-    row w = top16(out[2w]) | top16(out[2w+1]) << 16. The kernel needs the
-    real output count via its `nout` static arg in this mode.
+    bits of each match value, two per uint32 row, and appends a 16-bit
+    validity unit (valid bits 0..M-1 | parity << 14 | row_valid << 15) in
+    the next slot — the separate ovm plane then never crosses the wire
+    (40 B/row at 3 outputs; unit u lives at row u//2, shift 16*(u%2)).
+    The kernel needs the real output count via its `nout` static arg in
+    this mode; requires M <= 14.
     """
     B = int(tweak_blobs.shape[0])
     M = int(outputs_hi.shape[1])
@@ -726,13 +746,21 @@ def pack_batch_arrays(tweak_blobs, row_valid, outputs_hi, outputs_lo,
     ovm |= np.asarray(row_valid).astype(np.uint32) << np.uint32(31)
     oh = np.ascontiguousarray(np.asarray(outputs_hi).T).view(np.uint32)
     if hi_only == "hi16":
-        top = oh >> np.uint32(16)                       # (M, B) top-16s
-        Mp = (M + 1) // 2
+        if M > 14:
+            raise ValueError("hi16 packing supports at most 14 outputs "
+                             "(the validity unit needs bits 14/15)")
+        units = list(oh >> np.uint32(16))                # M top-16 rows
+        units.append((ovm & np.uint32((1 << M) - 1))     # ovm16 unit
+                     | (((ovm >> np.uint32(30)) & np.uint32(1))
+                        << np.uint32(14))
+                     | ((ovm >> np.uint32(31)) << np.uint32(15)))
+        Mp = (len(units) + 1) // 2
         packed = np.zeros((Mp, B), np.uint32)
-        for j in range(M):
-            packed[j // 2] |= top[j] << np.uint32(16 * (j % 2))
-        oh = packed
-    lo = (np.zeros((oh.shape[0], 1), np.uint32) if hi_only else
+        for j, u in enumerate(units):
+            packed[j // 2] |= u << np.uint32(16 * (j % 2))
+        return (padB(words), padB(packed),
+                np.zeros((1, 1), np.uint32), np.zeros((1, 1), np.uint32))
+    lo = (np.zeros((M, 1), np.uint32) if hi_only else
           padB(np.ascontiguousarray(np.asarray(outputs_lo).T).view(np.uint32)))
     return (
         padB(words),

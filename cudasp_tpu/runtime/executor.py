@@ -293,22 +293,33 @@ class BatchExecutor:
 
         def upload_planes(planes, hi_only):
             """One combined H2D transfer per batch + device-side split.
-            The (Mp, 1) dummy lo plane of the cut modes never crosses the
-            link at all (zeros are created on device)."""
-            wide = ([planes[0], planes[1], planes[3]] if hi_only
-                    else [planes[0], planes[1], planes[2], planes[3]])
+            The dummy planes of the cut modes (lo always; ovm too under
+            hi16) never cross the link — zeros are created on device."""
+            if hi_only == "hi16":
+                wide = [planes[0], planes[1]]
+            elif hi_only:
+                wide = [planes[0], planes[1], planes[3]]
+            else:
+                wide = list(planes)
             big = np.concatenate(wide, axis=0)
             devb = jax.device_put(big, lane_sh)
             parts = _plane_splitter(tuple(p.shape[0] for p in wide))(devb)
-            if hi_only:
-                lo = jnp.zeros(planes[2].shape, jnp.uint32)
+            if not hi_only:
+                return parts
+
+            def zrep(shape):
+                z = jnp.zeros(shape, jnp.uint32)
                 if mesh is not None:
                     from jax.sharding import NamedSharding, PartitionSpec
 
-                    lo = jax.device_put(lo, NamedSharding(
+                    z = jax.device_put(z, NamedSharding(
                         mesh, PartitionSpec(None, None)))
-                return (parts[0], parts[1], lo, parts[2])
-            return parts
+                return z
+
+            if hi_only == "hi16":
+                return (parts[0], parts[1], zrep(planes[2].shape),
+                        zrep(planes[3].shape))
+            return (parts[0], parts[1], zrep(planes[2].shape), parts[2])
 
         def prewarm(width, M):
             """Background compile of the kernel variants this scan may
@@ -340,10 +351,13 @@ class BatchExecutor:
                         return
                     hi_val = (True if hi == "hi32" else
                               "hi16" if hi == "hi16" else False)
-                    Mp = (M + 1) // 2 if hi == "hi16" else M
-                    dev = (zdev((8, width)), zdev((Mp, width)),
-                           zdev((Mp, 1) if hi else (M, width)),
-                           zdev((1, width)))
+                    if hi == "hi16":      # packed units + dummy lo/ovm
+                        dev = (zdev((8, width)), zdev(((M + 2) // 2, width)),
+                               zdev((1, 1)), zdev((1, 1)))
+                    else:
+                        dev = (zdev((8, width)), zdev((M, width)),
+                               zdev((M, 1) if hi else (M, width)),
+                               zdev((1, width)))
                     bmask = None
                     if hi is None:                    # tail/skip variant
                         m = np.ones(nblk, np.int32)
@@ -594,10 +608,14 @@ class BatchExecutor:
                     # an otherwise-idle device)
                     M_real = (payload.outputs_hi.shape[1]
                               if payload is not None else dev[1].shape[0])
-                    threading.Thread(
+                    # keeps running past scan end on purpose (it compiles
+                    # variants for future scans); _prewarm_thread exposed
+                    # so tests/shutdown hooks can join it
+                    self._prewarm_thread = threading.Thread(
                         target=prewarm,
                         args=(dev[0].shape[1], M_real),
-                        daemon=True).start()
+                        daemon=True)
+                    self._prewarm_thread.start()
                 while len(in_flight) > 3:
                     read_back(in_flight.pop(0))
             for entry in in_flight:

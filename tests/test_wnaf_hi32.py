@@ -184,7 +184,8 @@ def test_pallas_hi16_interpret_parity():
     def run(oh_, ol_):
         planes = K.pack_batch_arrays(tweaks, np.ones(B, bool), oh_, ol_,
                                      ov, 128, hi_only="hi16")
-        assert planes[1].shape[0] == (M + 1) // 2     # packed pairs
+        assert planes[1].shape[0] == (M + 2) // 2     # M + ovm16 units
+        assert planes[2].shape == planes[3].shape == (1, 1)   # dummies
         flags = np.asarray(K._scan_pallas_call(
             *(jnp.asarray(a) for a in planes), jnp.asarray(digits),
             jnp.asarray(sx), jnp.asarray(sy), jnp.asarray(lx),
@@ -198,3 +199,91 @@ def test_pallas_hi16_interpret_parity():
     oh_bad = oh ^ np.where(ov, 0x5A5A, 0).astype(np.int32)
     ol_bad = ol ^ np.where(ov, -1, 0).astype(np.int32)
     assert np.array_equal(run(oh_bad, ol_bad), expect)        # superset
+
+
+def test_executor_auto_hi16_memo_and_reverify(monkeypatch):
+    """upload='auto' with a process-memoized 'hi16' decision and a warm
+    variant registry must ship hi16 from batch 0 (no measurement, no
+    waiting on prewarm), match on top-16 bits via the packed plane, and
+    prune sub-top16 collisions in the exact pass."""
+    import jax.numpy as jnp
+    from cudasp_tpu.ops import kernels as K
+    from cudasp_tpu.runtime import executor as E
+
+    B, M = 700, 1
+    rng = np.random.default_rng(5)
+    up = rng.integers(1, 2**62, B).astype(np.int64)       # uploaded values
+    true_rows = {0, 123, 699}
+    coll_rows = {7, 300, 512}      # agree in top16 only
+    comp = {}
+    tweaks = np.zeros((B, 64), np.uint8)
+    ids = np.arange(1, B + 1, dtype=np.uint32)
+    tweaks[:, :4] = ids[:, None].copy().view(np.uint8).reshape(B, 4)
+    for r in range(B):
+        v = int(up[r])
+        if r in true_rows:
+            comp[int(ids[r])] = v
+        elif r in coll_rows:
+            comp[int(ids[r])] = v ^ 1                     # top16 equal
+        else:
+            comp[int(ids[r])] = v ^ (1 << 50)             # top16 differs
+    calls = {"hi16": 0, "full": 0}
+
+    def fake_kernel(tw, oh_p, ol_p, ovm, digits, sx, sy, lxq, lyq, comb,
+                    bmask=None, *, nlabels, block_rows, interpret=False,
+                    ladder="fixed", hi_only=False, nout=None):
+        tw = np.asarray(tw)
+        oh_p = np.asarray(oh_p)
+        W = tw.shape[1]
+        f = np.zeros((1, W), np.int8)
+        if hi_only == "hi16":
+            calls["hi16"] += 1
+            assert nout == M and oh_p.shape[0] == (M + 2) // 2
+            assert np.asarray(ovm).shape == (1, 1)        # folded away
+            for j in range(W):
+                rid = int(tw[0, j])
+                unit0 = int(oh_p[0, j]) & 0xFFFF          # top16(out0)
+                ovm16 = (int(oh_p[0, j]) >> 16) & 0xFFFF  # validity unit
+                if rid == 0 or not (ovm16 >> 15) & 1 or not ovm16 & 1:
+                    continue
+                top16 = (comp[rid] >> 48) & 0xFFFF
+                f[0, j] = int(top16 == unit0)
+        else:
+            assert hi_only is False
+            calls["full"] += 1
+            ovm_p = np.asarray(ovm)
+            ol_p = np.asarray(ol_p)
+            for j in range(W):
+                rid = int(tw[0, j])
+                if rid == 0 or not (int(ovm_p[0, j]) >> 31) & 1:
+                    continue
+                got = ((int(oh_p[0, j]) << 32)
+                       | (int(ol_p[0, j]) & 0xFFFFFFFF))
+                got = got - (1 << 64) if got >= (1 << 63) else got
+                f[0, j] = int(got == comp[rid])
+        return jnp.asarray(f)
+
+    monkeypatch.setattr(K, "_scan_pallas_call", fake_kernel)
+    # pretend this is a TPU process with a measured decision + warm kernel
+    monkeypatch.setattr(E.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(E.BatchExecutor, "_auto_memo", {"decision": "hi16"})
+    monkeypatch.setattr(E.BatchExecutor, "_warm_keys", {
+        (None, 0, 128, "fixed", 256, M, "hi16")})
+
+    outputs = [[int(up[r])] for r in range(B)]
+    flat, offsets = ingest.outputs_to_csr(outputs)
+    batches = ingest.iter_packed(tweaks, flat, offsets, batch_size=256,
+                                 max_outputs=M, layout="kernel")
+    keys = ingest.pack_query_keys(b"\x01" + b"\x00" * 31, b"\x00" * 64, [])
+    windows, sxq, syq, lxq, lyq, nl = keys
+    ex = E.BatchExecutor(backend="pallas", block_rows=128, upload="auto")
+    results = ex.run(batches, windows, sxq, syq, lxq, lyq, nl)
+    matched = (np.concatenate([srcs[fl & (srcs >= 0)]
+                               for fl, srcs in results])
+               if results else np.zeros(0, np.int64))
+    assert set(matched.tolist()) == true_rows
+    assert calls["hi16"] >= 3      # every main batch shipped hi16
+    assert calls["full"] >= 1      # the exact pass ran
+    th = getattr(ex, "_prewarm_thread", None)
+    if th is not None:             # don't tear down jax under the thread
+        th.join(timeout=30)
