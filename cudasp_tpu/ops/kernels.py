@@ -294,7 +294,7 @@ def _limbs_from_words(w):
 def _scan_kernel(nlabels, nout, ladder, hi_only, digits_ref, bmask_ref,
                  tw_ref, oh_ref, ol_ref, ovm_ref,
                  sx_ref, sy_ref, lx_ref, ly_ref, comb_ref,
-                 out_ref, tabx, taby):
+                 out_ref, tabx, taby, sbytes_ref):
     """Grid-step dispatcher: blocks whose validity mask says "no live rows"
     (bmask_ref, scalar-prefetched) skip the entire EC pipeline — padding
     tiles of a ragged batch and post-exchange empty shards cost one flag
@@ -311,13 +311,13 @@ def _scan_kernel(nlabels, nout, ladder, hi_only, digits_ref, bmask_ref,
         _scan_block(nlabels, nout, ladder, hi_only, digits_ref,
                     tw_ref, oh_ref, ol_ref, ovm_ref,
                     sx_ref, sy_ref, lx_ref, ly_ref, comb_ref,
-                    out_ref, tabx, taby)
+                    out_ref, tabx, taby, sbytes_ref)
 
 
 def _scan_block(nlabels, nout, ladder, hi_only, digits_ref,
                 tw_ref, oh_ref, ol_ref, ovm_ref,
                 sx_ref, sy_ref, lx_ref, ly_ref, comb_ref,
-                out_ref, tabx, taby):
+                out_ref, tabx, taby, sbytes_ref):
     """One row tile, tweak words -> match flags, fully VMEM-resident.
     (A split ladder/finish two-kernel variant was measured ~7% slower at
     786K rows — the HBM round-trip of the Jacobian plane plus the second
@@ -464,22 +464,21 @@ def _scan_block(nlabels, nout, ladder, hi_only, digits_ref,
     y_aff = _canon2d(F.mul(ey, F.mul(zi, zi2)))
     parity = (y_aff[0:1] & 1).astype(jnp.uint32)
     hw = _tagged_hash_2d(_words_be_2d(x_aff), parity)
-    sb = _bytes_from_words_2d(hw)                  # (32, BT) int32 value
+    # staged through scratch: Mosaic only supports dynamic indexing on
+    # refs. (An unrolled-window variant with static value slices measured
+    # perf-neutral on chip but ~2x the tracing/compile time — reverted.)
+    sbytes_ref[:] = _bytes_from_words_2d(hw)       # (32, BT) int32
 
     # ---- fixed-base comb: t x G via one-hot MXU selects (replaces
-    # ECDSACONST.d_mul_table walks, src/cudasp_gpu.cu:317-354). The 32
-    # windows are UNROLLED so the hash-byte and table reads are static
-    # slices: the previous fori_loop staged the bytes through a VMEM
-    # scratch read with a dynamic sublane index, which Mosaic lowers ~3x
-    # slower than the direct path (tools/stage_profile: 229 vs 81 us/tile).
+    # ECDSACONST.d_mul_table walks, src/cudasp_gpu.cu:317-354)
     bt = ex.shape[1]
     iota = jax.lax.broadcasted_iota(jnp.int32, (256, bt), 0)
 
-    px, py, pz, pinf_i = zeros, zeros, zeros, inf0
-    for i in range(32):
+    def comb_window(i, carry):
+        px, py, pz, pinf_i = carry
         pinf = pinf_i != 0
         tab = comb_ref[i]                          # (2*NLIMBS, 256) f32
-        byte = sb[i : i + 1]                       # (1, BT), static slice
+        byte = sbytes_ref[pl.ds(i, 1), :]                   # (1, BT)
         onehot = (iota == byte).astype(jnp.float32)
         sel = jax.lax.dot_general(
             tab, onehot,
@@ -493,8 +492,10 @@ def _scan_block(nlabels, nout, ladder, hi_only, digits_ref,
         px = _sel(qinf, px, _sel(pinf, qx, ax))
         py = _sel(qinf, py, _sel(pinf, qy, ay))
         pz = _sel(qinf, pz, _sel(pinf, one, az))
-        pinf_i = (pinf & qinf).astype(jnp.int32)
-    ox, oy, oz, oinf_i = px, py, pz, pinf_i
+        return px, py, pz, (pinf & qinf).astype(jnp.int32)
+
+    ox, oy, oz, oinf_i = jax.lax.fori_loop(
+        0, 32, comb_window, (zeros, zeros, zeros, inf0))
     oinf = oinf_i != 0
 
     # ---- + spend, + labels, upper-64 semi-join (src/cudasp_gpu.cu:74-178)
@@ -603,6 +604,7 @@ def _scan_pallas_call(tweak_words, outputs_hi, outputs_lo, outputs_mask,
         scratch_shapes=[
             pltpu.VMEM((2, 8, N, block_rows), jnp.int32),   # table x
             pltpu.VMEM((2, 8, N, block_rows), jnp.int32),   # table +-y
+            pltpu.VMEM((32, block_rows), jnp.int32),        # hash bytes
         ],
     )
     kern = (functools.partial(_scan_kernel, nlabels, M, ladder, hi_only)

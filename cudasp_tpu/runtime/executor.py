@@ -226,27 +226,36 @@ class BatchExecutor:
                      else "full"),    # explicit modes apply immediately
             "want": ("hi16" if memo.get("decision") == "hi16" else None)
                     if auto else None,
-            "uploads": [],            # measured early H2D seconds (auto)
-            "kernel0": None,          # measured batch-0 kernel seconds
+            "uploads": [],            # rolling H2D measurements (auto)
+            "kernel0": memo.get("kernel0") if auto else None,
             "hi_rows": 0,             # cut-mode rows (density feedback)
             "flagged": 0,             # ...of which needed the exact pass
         }
-        # only the first auto scan of the process measures; the rest reuse
-        measure = auto and memo.get("decision") is None
+        # the serialized batch-0 kernel measurement runs once per process
+        # (the chip's kernel rate is stable); upload timings re-measure on
+        # EVERY auto scan and batch, because the link drifts 3-4x within
+        # hours (ROADMAP r3) — a frozen decision loses either way
+        measure = auto and upload_state["kernel0"] is None
 
         def _decide():
-            """Re-evaluate the upload mode from the cleanest measurements
-            so far: min of the early upload timings (the first transfer
-            pays tunnel/runtime spin-up and over-reads) vs the bare batch-0
-            kernel time. Timings are scaled to full-plane bytes so a
-            cut-mode measurement doesn't bias the comparison."""
+            """Re-evaluate the upload mode from the rolling upload window
+            (min of the last few: the first transfer pays tunnel/runtime
+            spin-up and over-reads) vs the memoized batch-0 kernel time.
+            Timings are scaled to full-plane bytes so a cut-mode
+            measurement doesn't bias the comparison. Hysteresis keeps the
+            mode from thrashing near the threshold; the density veto is
+            sticky for the scan."""
             k0 = upload_state["kernel0"]
-            ups = upload_state["uploads"]
+            ups = upload_state["uploads"][-4:]
             if k0 is None or not ups:
                 return
             up = min(u * full / sent for u, sent, full in ups)
-            if upload_state["want"] != "full":   # density veto is sticky
-                upload_state["want"] = "hi16" if up > 1.15 * k0 else None
+            if upload_state["want"] == "full":   # density veto
+                return
+            if up > 1.15 * k0:
+                upload_state["want"] = "hi16"
+            elif up < 0.85 * k0:
+                upload_state["want"] = None
 
         def dispatch(dev, bmask, hi_only=False, nout=None):
             if rebalance:
@@ -342,8 +351,11 @@ class BatchExecutor:
                 variants = []
                 if upload_state["mode"] in ("hi32", "hi16"):
                     variants.append(upload_state["mode"])
-                elif auto and memo.get("decision") != "full":
-                    variants.append("hi16")           # auto's cut variant
+                elif auto:
+                    # always warm the cut variant: the link can degrade
+                    # mid-scan and the per-batch decision must be able to
+                    # flip without compiling
+                    variants.append("hi16")
                 variants.append(None)                 # full, skip (tail)
                 nblk = width // br
                 for hi in variants:
@@ -434,11 +446,14 @@ class BatchExecutor:
                     dev = (tuple(jax.device_put(a, lane_sh)
                                  for a in planes) if rebalance
                            else upload_planes(planes, hi_only))
-                    if detail or (measure and i < 4):
+                    if detail or auto:
                         # force transfer completion with a tiny D2H read
+                        # (one ~45 ms ping per batch; it also paces the
+                        # feeder to the link, and under auto it feeds the
+                        # per-batch upload-vs-kernel decision)
                         np.asarray(dev[0][:1, :1])
                         dt = time.perf_counter() - t0
-                        if measure and i < 4:
+                        if auto:
                             sent = sum(a.nbytes for a in planes)
                             # full-plane bytes for this width/M (what a
                             # mode="full" batch of the same shape ships)
@@ -640,6 +655,8 @@ class BatchExecutor:
         if auto:
             memo["decision"] = ("hi16" if upload_state["want"] == "hi16"
                                 else "full")
+            if upload_state["kernel0"] is not None:
+                memo["kernel0"] = upload_state["kernel0"]
         if metrics is not None:
             metrics.device_seconds += timer.lap()
             metrics.batches += nb

@@ -289,3 +289,50 @@ def test_pallas_sharded_lane_split(monkeypatch):
                 nlabels=1, block_rows=128)
     finally:
         K._sharded_scan_fn.cache_clear()
+
+
+def test_pallas_sharded_hi16_dummy_specs(monkeypatch):
+    """hi16 over a mesh: the packed plane lane-shards while the (1, 1)
+    lo/ovm dummies replicate (the pre-r3 lane specs would reject a width-1
+    plane on an 8-way mesh). Stubbed kernel; validates spec plumbing."""
+    import jax.numpy as jnp
+    from cudasp_tpu.ops import kernels as K
+    from cudasp_tpu.parallel.mesh import make_mesh
+
+    seen = {}
+
+    def stub(tw, oh, ol, ovm, digits, sx, sy, lx, ly, comb, blockmask=None,
+             *, nlabels, block_rows, interpret=False, ladder="fixed",
+             hi_only=False, nout=None):
+        seen["shapes"] = (tw.shape, oh.shape, ol.shape, ovm.shape)
+        seen["mode"] = (hi_only, nout)
+        return (oh[:1] & 0xFFFF).astype(jnp.int8)
+
+    monkeypatch.setattr(K, "_scan_pallas_call", stub)
+    K._sharded_scan_fn.cache_clear()
+    try:
+        mesh = make_mesh(8)
+        B, M = 8 * 128, 3
+        rng = np.random.default_rng(1)
+        tweaks = rng.integers(0, 256, (B, 64)).astype(np.uint8)
+        oh = rng.integers(0, 2**31, (B, M)).astype(np.int32)
+        ol = rng.integers(0, 2**31, (B, M)).astype(np.int32)
+        ov = np.ones((B, M), bool)
+        planes = K.pack_batch_arrays(tweaks, np.ones(B, bool), oh, ol, ov,
+                                     B, hi_only="hi16")
+        sx = sy = np.zeros((F.NLIMBS, 1), np.int32)
+        lx = ly = np.zeros((1, F.NLIMBS, 1), np.int32)
+        flags = np.asarray(K.scan_pallas_sharded(
+            mesh, *(jnp.asarray(a) for a in planes),
+            jnp.asarray(np.zeros((2, 34), np.int32)), jnp.asarray(sx),
+            jnp.asarray(sy), jnp.asarray(lx), jnp.asarray(ly),
+            K.comb_table_f32(), nlabels=0, block_rows=128,
+            hi_only="hi16", nout=M))
+        # per-shard: packed plane lane-split, dummies replicated at (1, 1)
+        assert seen["shapes"] == (
+            (8, B // 8), ((M + 2) // 2, B // 8), (1, 1), (1, 1))
+        assert seen["mode"] == ("hi16", M)
+        assert np.array_equal(
+            flags[0], (planes[1][0] & 0xFFFF).astype(np.int8))
+    finally:
+        K._sharded_scan_fn.cache_clear()

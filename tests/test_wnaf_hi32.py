@@ -266,7 +266,10 @@ def test_executor_auto_hi16_memo_and_reverify(monkeypatch):
     monkeypatch.setattr(K, "_scan_pallas_call", fake_kernel)
     # pretend this is a TPU process with a measured decision + warm kernel
     monkeypatch.setattr(E.jax, "default_backend", lambda: "tpu")
-    monkeypatch.setattr(E.BatchExecutor, "_auto_memo", {"decision": "hi16"})
+    # kernel0=1e-9 keeps the per-batch upload-vs-kernel decision pinned at
+    # "cut" (any real upload time exceeds 1.15 * 1 ns)
+    monkeypatch.setattr(E.BatchExecutor, "_auto_memo",
+                        {"decision": "hi16", "kernel0": 1e-9})
     monkeypatch.setattr(E.BatchExecutor, "_warm_keys", {
         (None, 0, 128, "fixed", 256, M, "hi16")})
 
