@@ -189,7 +189,8 @@ def kernel_only(tweaks, flat, offsets, args, n=262144, reps=3):
     from cudasp_tpu.oracle.encoding import blob32_to_scalar
 
     n = min(n, args.rows)
-    br = 512
+    br = 640                   # keep in lockstep with the production
+    # default (runtime.executor BatchExecutor block_rows)
     b = next(iter(ingest.iter_packed(
         tweaks[:n], flat[: offsets[n]], offsets[: n + 1], batch_size=n,
         max_outputs=3, layout="kernel")))

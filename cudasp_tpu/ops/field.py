@@ -248,9 +248,12 @@ def _reduce_cols(cols: jnp.ndarray, post=None) -> jnp.ndarray:
     `post` fuses the ± epilogues of the EC formula lines into this tail
     (the mul_sub/sqr_*_dbl family below): it runs on the (20,B) state
     (rows 0..5 <= 4.2e8, rest <= 24.9k, top row <= 24.9k, all >= 0) and
-    must return non-negative rows <= ~8.5e8 with the same value mod p —
-    which every borrow-proof (D - x) line and a single doubling satisfy.
-    One fused line replaces a full _lazy pass pair."""
+    must return non-negative rows <= ~1.7e9 with the same value mod p —
+    which every borrow-proof (D - x) line, a doubling, and a quadrupling
+    (mul_x4) satisfy. Audit for the 1.7e9 cap: the next fold256's
+    e*FOLD256_LO term adds < 2e5 (< 2^31 total), and the following carry
+    caps limbs at 8191 + 1.7e9/2^13 ~= 216k, whose own fold256+carry
+    lands mulsafe. One fused line replaces a full _lazy pass pair."""
     v = _carry(cols, cols.shape[0] + 1)
     v = _fold20_split(v)
     v = _carry(v, v.shape[0] + 1)

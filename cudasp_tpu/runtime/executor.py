@@ -300,10 +300,19 @@ class BatchExecutor:
             """Identity of one compiled kernel variant (jit-signature-ish)."""
             return (mesh, nlabels, br, ladder, int(width), int(M), tag)
 
-        def upload_planes(planes, hi_only):
+        def cut_tag_for(M):
+            """auto's upload-cut variant for this outputs width: hi16
+            normally; hi32 when M > 14 (the packed validity unit needs
+            bits 14/15, so hi16 tops out at 14 outputs per row)."""
+            return "hi16" if M <= 14 else "hi32"
+
+        def upload_planes(planes, hi_only, pad_width=None):
             """One combined H2D transfer per batch + device-side split.
             The dummy planes of the cut modes (lo always; ovm too under
-            hi16) never cross the link — zeros are created on device."""
+            hi16) never cross the link — zeros are created on device.
+            pad_width: widen the planes to this lane count with DEVICE-side
+            zeros after the transfer (reverify reuses the scan's compiled
+            width without shipping the padding over the link)."""
             if hi_only == "hi16":
                 wide = [planes[0], planes[1]]
             elif hi_only:
@@ -312,6 +321,13 @@ class BatchExecutor:
                 wide = list(planes)
             big = np.concatenate(wide, axis=0)
             devb = jax.device_put(big, lane_sh)
+            if pad_width is not None and pad_width > big.shape[1]:
+                devb = jnp.concatenate(
+                    [devb, jnp.zeros((big.shape[0],
+                                      pad_width - big.shape[1]),
+                                     jnp.uint32)], axis=1)
+                if lane_sh is not None:
+                    devb = jax.device_put(devb, lane_sh)
             parts = _plane_splitter(tuple(p.shape[0] for p in wide))(devb)
             if not hi_only:
                 return parts
@@ -343,10 +359,16 @@ class BatchExecutor:
 
                 def zdev(shape):
                     # jnp.zeros fills on device — dummy planes must NOT
-                    # ride (and pollute the measurement of) the H2D link
+                    # ride (and pollute the measurement of) the H2D link.
+                    # Width-1 dummies REPLICATE on a mesh (lane-sharding a
+                    # width-1 array raises on ndev > 1 and the bare except
+                    # below would silently kill the whole prewarm).
                     z = jnp.zeros(shape, jnp.uint32)
-                    return (jax.device_put(z, lane_sh)
-                            if lane_sh is not None else z)
+                    if mesh is None:
+                        return z
+                    sh = (NamedSharding(mesh, PartitionSpec(None, None))
+                          if shape[-1] == 1 else lane_sh)
+                    return jax.device_put(z, sh)
 
                 variants = []
                 if upload_state["mode"] in ("hi32", "hi16"):
@@ -355,7 +377,7 @@ class BatchExecutor:
                     # always warm the cut variant: the link can degrade
                     # mid-scan and the per-batch decision must be able to
                     # flip without compiling
-                    variants.append("hi16")
+                    variants.append(cut_tag_for(M))
                 variants.append(None)                 # full, skip (tail)
                 nblk = width // br
                 for hi in variants:
@@ -403,10 +425,11 @@ class BatchExecutor:
                     n = blobs.shape[0]
                     width = max(width, pad_to,
                                 ((n + pad_to - 1) // pad_to) * pad_to)
+                    M_b = b.outputs_hi.shape[1]
                     cut_tag = (upload_state["mode"]
                                if upload_state["mode"] in ("hi32", "hi16")
-                               else "hi16")
-                    if i == 0 and vkey(width, b.outputs_hi.shape[1],
+                               else cut_tag_for(M_b))
+                    if i == 0 and vkey(width, M_b,
                                        cut_tag) in BatchExecutor._warm_keys:
                         # a previous scan compiled this cut program: the
                         # measured decision can apply from batch 0
@@ -423,10 +446,8 @@ class BatchExecutor:
                         and hi_ready.is_set())
                     hi_only = False
                     if cut and not will_skip:
-                        hi_only = (True if upload_state["mode"] == "hi32"
-                                   else "hi16")
-                        upload_state["cut_used"] = (
-                            "hi32" if hi_only is True else "hi16")
+                        hi_only = (True if cut_tag == "hi32" else "hi16")
+                        upload_state["cut_used"] = cut_tag
                     planes = K.pack_batch_arrays(
                         blobs, b.row_valid, b.outputs_hi,
                         b.outputs_lo, b.outputs_valid, width,
@@ -557,11 +578,15 @@ class BatchExecutor:
             for a in range(0, rows, width):
                 bslice = slice(a, min(a + width, rows))
                 nsub = bslice.stop - a
+                # pack only the live prefix (a handful of flagged rows,
+                # usually); the device pads to the scan's compiled width
+                small = min(width,
+                            max(pad_to,
+                                ((nsub + pad_to - 1) // pad_to) * pad_to))
                 planes = K.pack_batch_arrays(
                     tw[bslice], np.ones(nsub, bool), oh[bslice],
-                    ol[bslice], ov[bslice], width)
-                bmask = K.live_blockmask(
-                    nsub, planes[0].shape[1] // br, br)
+                    ol[bslice], ov[bslice], small)
+                bmask = K.live_blockmask(nsub, width // br, br)
                 if bmask is not None:
                     bmask = jnp.asarray(bmask)
                     if mesh is not None:
@@ -571,8 +596,7 @@ class BatchExecutor:
                         bmask = jax.device_put(
                             bmask,
                             NamedSharding(mesh, PartitionSpec("data")))
-                dev = (tuple(jax.device_put(a, lane_sh) for a in planes)
-                       if rebalance else upload_planes(planes, False))
+                dev = upload_planes(planes, False, pad_width=width)
                 f = dispatch(dev, bmask, hi_only=False)
                 exact[bslice] = np.asarray(f)[0, :nsub] != 0
             at = 0

@@ -123,7 +123,6 @@ def main():
             "rows_per_s": round(B / best, 1),
         }))
 
-    base = results[0][2] / results[0][0] if results else None
     print("\n# weak-scaling efficiency (t1 / tN, per-device rows constant):",
           file=sys.stderr)
     for ndev, B, t in results:
