@@ -60,7 +60,7 @@ def main():
     # also amortize pipeline fill and average out the tunnel's bandwidth
     # drift (tools/bench_curve.py records the smaller points)
     ap.add_argument("--rows", type=int, default=32_700_000)
-    ap.add_argument("--batch-size", type=int, default=262_144)
+    ap.add_argument("--batch-size", type=int, default=524_288)
     ap.add_argument("--labels", type=int, default=0)
     ap.add_argument("--pool", type=int, default=256)
     ap.add_argument("--repeats", type=int, default=3,
@@ -114,7 +114,7 @@ def main():
 
     # warm-up run (compile + first-dispatch overheads) on a slice big
     # enough to exercise the production batch shape
-    nwarm = min(args.rows, 262144 + 1)
+    nwarm = min(args.rows, args.batch_size + 1)
     warm = {
         "tweak_key": tweaks[: nwarm],
         "outputs": (flat[: offsets[nwarm]], offsets[: nwarm + 1]),
@@ -176,7 +176,7 @@ def main():
     return 0
 
 
-def kernel_only(tweaks, flat, offsets, args, n=262144, reps=3):
+def kernel_only(tweaks, flat, offsets, args, n=524288, reps=3):
     """Device-resident kernel throughput (no host pack / H2D in the timed
     region): the number end-to-end converges to when the upload path is
     not the bottleneck. Reuses the first n rows of the bench dataset."""

@@ -458,10 +458,11 @@ def _scan_impl(table, scan_private_key, spend_public_key, label_keys=(),
                              backend=cfg.backend, block_rows=block_rows,
                              rebalance=cfg.rebalance,
                              ladder=ladder, upload=upload)
-    # Pallas tile: 262144 rows/dispatch measured best — wider tiles (1M)
-    # degrade sharply on v5e (HBM pressure / grid scheduling), narrower
-    # ones pay per-dispatch overhead.
-    tile = cfg.tile or (262144 if executor.backend == "pallas" else 8192)
+    # Pallas tile: 524288 rows/dispatch (r3 re-measure: the ~21 ms
+    # dispatch+readback constant is 5%% of a 262144-row tile, halved at
+    # 524288 which probes at 710K vs 690K apparent rows/s; 1M-wide tiles
+    # degrade sharply on v5e). Narrower tiles pay per-dispatch overhead.
+    tile = cfg.tile or (524288 if executor.backend == "pallas" else 8192)
     n_scan = tweaks_scan.shape[0]
     eff_batch = min(_pow2_at_least(cfg.batch_size),
                     _pow2_at_least(max(n_scan, 1)), tile)
