@@ -3,33 +3,50 @@
 
 Reference baseline: 2,622,216 tx/s on a 32.7M-row scan (2x RTX 5090,
 /root/reference/README.md:134; BASELINE.md). Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "tx/s", "vs_baseline": N}
+  {"metric": "...", "value": N, "unit": "tx/s", "vs_baseline": N, ...}
+
+Drift-proofing (VERDICT r3 item 3): the recorded artifact carries the
+measured H2D link rate (link_MBps — the axon tunnel drifts 10-42 MB/s
+within hours and the e2e number is hostage to it), the device-resident
+kernel_rows_per_s (the stable engine number), and repeats auto-extend
+until the best two timed runs agree within 10% (cap --max-repeats).
 
 Synthetic dataset: rows cycle through a pool of distinct tweak points;
 ~1% of rows carry a planted matching value (oracle-computed per distinct
-point), the rest carry random candidates. Matching correctness is asserted
-before timing is reported.
+point), the rest carry random candidates. The per-point oracle work is
+cached on disk (the r3 bench spent 65 s/run regenerating it). Matching
+correctness is asserted before timing is reported.
 """
 
 import argparse
+import hashlib
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
 BASELINE_TXS = 2_622_216.0
+_POOL_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "cudasp_tpu", "_cache")
 
 
-def make_dataset(n_rows, pool=256, match_every=100, outputs_per_row=3,
-                 seed=7, scan_key=None, spend=None):
+def _pool_points(pool, seed, scan_key, spend):
+    """(blobs (pool, 64) u8, values (pool,) i64): the oracle-computed part
+    of the dataset (python-int EC, ~0.25 s/point) — cached on disk."""
     from cudasp_tpu.oracle import ec as O
     from cudasp_tpu.oracle.encoding import point_to_blob64
     from cudasp_tpu.oracle.pipeline import candidate_values
 
+    key = hashlib.sha256(
+        f"{pool}|{seed}|{scan_key}|{spend}".encode()).hexdigest()[:16]
+    cache = os.path.join(_POOL_CACHE_DIR, f"benchpool_{key}.npz")
+    if os.path.exists(cache):
+        d = np.load(cache)
+        return d["blobs"], d["values"]
     rng = np.random.default_rng(seed)
     g = (O.GX, O.GY)
-    # distinct tweak points (k*G for random k) and their oracle match values
     ks = rng.integers(1, 2**62, size=pool)
     points = [O.ec_mul(g, int(k)) for k in ks]
     blobs = np.stack([
@@ -39,6 +56,19 @@ def make_dataset(n_rows, pool=256, match_every=100, outputs_per_row=3,
         [candidate_values(p, scan_key, spend)[0] for p in points],
         np.int64,
     )
+    try:
+        os.makedirs(_POOL_CACHE_DIR, exist_ok=True)
+        np.savez_compressed(cache, blobs=blobs, values=values)
+    except OSError:
+        pass
+    return blobs, values
+
+
+def make_dataset(n_rows, pool=256, match_every=100, outputs_per_row=3,
+                 seed=7, scan_key=None, spend=None):
+    blobs, values = _pool_points(pool, seed, scan_key, spend)
+    rng = np.random.default_rng(seed)
+    rng.integers(1, 2**62, size=pool)          # keep stream position stable
 
     row_pool = rng.integers(0, pool, size=n_rows)
     tweaks = blobs[row_pool]
@@ -64,15 +94,14 @@ def main():
     ap.add_argument("--labels", type=int, default=0)
     ap.add_argument("--pool", type=int, default=256)
     ap.add_argument("--repeats", type=int, default=3,
-                    help="timed runs; the best is reported (the tunnel and "
-                         "chip drift +-10%% run to run)")
+                    help="minimum timed runs; extended (to --max-repeats) "
+                         "until the best two agree within 10%%")
+    ap.add_argument("--max-repeats", type=int, default=8)
     ap.add_argument("--no-kernel-only", action="store_true",
                     help="skip the device-resident kernel-only measurement")
     ap.add_argument("--platform", default=None,
                     help="force jax platform (e.g. cpu)")
     args = ap.parse_args()
-
-    import os
 
     if args.platform == "cpu":
         # XLA:CPU's new fusion emitters deadlock on this code's deep int32
@@ -86,15 +115,15 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+    # the executor's per-batch upload timing feeds link_MBps in the output
+    os.environ.setdefault("CUDASP_METRICS", "1")
     import jax
 
-    # Persistent compilation cache: the fused kernel takes minutes to
-    # compile cold; repeat bench runs (and the driver's round-end run)
-    # start in seconds instead.
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.environ.get("CUDASP_COMPILE_CACHE", "/tmp/cudasp_jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # Persistent compilation cache (repo-seeded when present): the fused
+    # kernel takes minutes to compile cold; see runtime/compile_cache.py.
+    from cudasp_tpu.runtime import compile_cache
+
+    compile_cache.ensure()
 
     from cudasp_tpu import scan
     from cudasp_tpu.oracle import vectors as V
@@ -125,16 +154,22 @@ def main():
     print(f"# warmup (compile): {time.time()-t0:.1f}s", file=sys.stderr)
 
     times = []
-    for _ in range(args.repeats):
+    links = []       # measured H2D MB/s per run (executor per-batch timing)
+    upload_mode = None
+    while True:
         t0 = time.time()
         res = scan(table, V.SCAN_KEY_BIP352, V.SPEND_BIP352, label_blobs,
                    batch_size=args.batch_size)
         dt = time.time() - t0
         times.append(dt)
         m = res.metrics
+        link = (m.upload_bytes / m.upload_seconds / 1e6
+                if m.upload_seconds else 0.0)
+        links.append(link)
+        upload_mode = m.upload_mode or "full"
         print(f"# run: {dt:.2f}s pack={m.pack_seconds:.2f}s "
               f"device={m.device_seconds:.2f}s matches={m.matches} "
-              f"upload={m.upload_mode or 'full'}", file=sys.stderr)
+              f"upload={upload_mode} link={link:.1f}MB/s", file=sys.stderr)
         expected = np.flatnonzero(is_match)
         got = np.asarray(res.indices)
         if not np.array_equal(got, expected):
@@ -146,12 +181,22 @@ def main():
                 "error": "match verification failed",
             }))
             return 1
+        if len(times) >= args.max_repeats:
+            break
+        if len(times) >= args.repeats:
+            two = sorted(times)[:2]
+            if two[1] <= 1.10 * two[0]:
+                break
+            print(f"# best two {two[0]:.1f}s/{two[1]:.1f}s disagree >10% "
+                  f"(link drift) — extending repeats", file=sys.stderr)
     best = min(times)
     spread = max(times) / best
-    if spread > 2.0:
-        # a >2x run-to-run spread means a compile leaked into a timed run
-        # (BENCH_r02 weak #3) or the tunnel collapsed; flag it loudly
-        print(f"# WARNING: run-to-run spread {spread:.1f}x > 2x "
+    if spread > 1.3:
+        # >1.3x run-to-run spread means the tunnel drifted during the
+        # window (or a compile leaked into a timed run); the artifact
+        # records spread + link range so the judged number carries its
+        # own error bar
+        print(f"# WARNING: run-to-run spread {spread:.1f}x > 1.3x "
               f"(times: {[round(t, 2) for t in times]})", file=sys.stderr)
 
     kernel_rows_per_s = None
@@ -168,7 +213,11 @@ def main():
         "seconds": round(best, 3),
         "batch_size": args.batch_size,
         "labels": args.labels,
+        "repeats": len(times),
         "spread": round(spread, 3),
+        "upload_mode": upload_mode,
+        "link_MBps": round(links[int(np.argmin(times))], 1),
+        "link_MBps_range": [round(min(links), 1), round(max(links), 1)],
     }
     if kernel_rows_per_s:
         out["kernel_rows_per_s"] = round(kernel_rows_per_s, 1)
@@ -179,7 +228,10 @@ def main():
 def kernel_only(tweaks, flat, offsets, args, n=524288, reps=3):
     """Device-resident kernel throughput (no host pack / H2D in the timed
     region): the number end-to-end converges to when the upload path is
-    not the bottleneck. Reuses the first n rows of the bench dataset."""
+    not the bottleneck. Reuses the first n rows of the bench dataset.
+    Uses the SAME block_rows/ladder resolution as the production executor
+    (CUDASP_BLOCK_ROWS / CUDASP_LADDER env over the measured defaults) and
+    reports rows/s over the REAL row count, not the padded lane width."""
     import jax.numpy as jnp
 
     from cudasp_tpu.io import ingest
@@ -189,8 +241,8 @@ def kernel_only(tweaks, flat, offsets, args, n=524288, reps=3):
     from cudasp_tpu.oracle.encoding import blob32_to_scalar
 
     n = min(n, args.rows)
-    br = 640                   # keep in lockstep with the production
-    # default (runtime.executor BatchExecutor block_rows)
+    br = int(os.environ.get("CUDASP_BLOCK_ROWS", "640"))
+    ladder = os.environ.get("CUDASP_LADDER", "fixed")
     b = next(iter(ingest.iter_packed(
         tweaks[:n], flat[: offsets[n]], offsets[: n + 1], batch_size=n,
         max_outputs=3, layout="kernel")))
@@ -198,16 +250,17 @@ def kernel_only(tweaks, flat, offsets, args, n=524288, reps=3):
                                  b.outputs_lo, b.outputs_valid, br)
     windows, sx, sy, lx, ly, nlabels = ingest.pack_query_keys(
         V.SCAN_KEY_BIP352, V.SPEND_BIP352, [V.LABEL2] * args.labels)
-    digits = jnp.asarray(np.asarray(
-        S.glv_odd_sched(blob32_to_scalar(V.SCAN_KEY_BIP352)), np.int32))
+    k = blob32_to_scalar(V.SCAN_KEY_BIP352)
+    sched = S.glv_wnaf_steps(k) if ladder == "wnaf" else S.glv_odd_sched(k)
+    digits = jnp.asarray(np.asarray(sched, np.int32))
     dev = tuple(jnp.asarray(a) for a in planes)
     dq = tuple(jnp.asarray(a) for a in
                K.pack_query_arrays(sx, sy, lx, ly, br))
-    comb = K.comb_table_f32()
+    comb = K.comb_table_kernel()
 
     def run():
         f = K._scan_pallas_call(*dev, digits, *dq, comb, nlabels=nlabels,
-                                block_rows=br)
+                                block_rows=br, ladder=ladder)
         np.asarray(f)      # force sync (block_until_ready lies on axon)
 
     run()                  # compile + warm
@@ -216,10 +269,10 @@ def kernel_only(tweaks, flat, offsets, args, n=524288, reps=3):
         t0 = time.perf_counter()
         run()
         best = min(best, time.perf_counter() - t0)
-    w = dev[0].shape[1]
-    print(f"# kernel-only: {best*1e3:.1f} ms / {w} rows "
-          f"-> {w/best:,.0f} rows/s", file=sys.stderr)
-    return w / best
+    print(f"# kernel-only: {best*1e3:.1f} ms / {n} rows "
+          f"(padded {dev[0].shape[1]}) -> {n/best:,.0f} rows/s",
+          file=sys.stderr)
+    return n / best
 
 
 if __name__ == "__main__":

@@ -43,7 +43,10 @@ class ScanConfig:
     # pipeline, whose compile time scales with batch width).
     tile: Optional[int] = None
     # Pallas kernel lane-tile width (rows per grid step). None = measured
-    # default (640 on v5e, r3 sweep); CUDASP_BLOCK_ROWS overrides.
+    # default for the attached device kind (runtime.tuning: 640 on v5e per
+    # the r3 sweep; autotuned row or built-in table for other kinds —
+    # run tools/autotune.py on first contact with new hardware);
+    # CUDASP_BLOCK_ROWS overrides.
     block_rows: Optional[int] = None
     # Scalar-ladder schedule for the Pallas kernel: "fixed" (odd-digit
     # fixed windows, 64 adds) or "wnaf" (interleaved width-5 wNAF, ~43
@@ -52,13 +55,16 @@ class ScanConfig:
     # more adds; the wnaf step's lax.cond serializes worse). CUDASP_LADDER
     # fills the "auto" default only (an explicit value wins).
     ladder: str = "auto"
-    # Batch upload width: "full" (exact 60 B/row at 3 outputs), "hi32"
-    # (48 B/row hi-word prefilter + exact re-verify of flagged rows),
-    # "hi16" (42 B/row: top-16-bit match words packed two per uint32, same
-    # re-verify contract, ~2^-16 false-flag rate), or "auto" (measure
-    # batch 0 and cut to hi16 only when the H2D link is the bottleneck —
-    # the reference ships 64 B/row points alone,
-    # src/cudasp_extension.cu:159-163).
+    # Batch upload width (per row at 3 outputs): "full64" (92 B: ships the
+    # reference's own uncompressed 64-B point, src/cudasp_extension.cu:
+    # 159-163, so the kernel SKIPS the on-device sqrt decompress — fastest
+    # when the link outruns the kernel, i.e. real PCIe/production hosts),
+    # "full" (60 B: 32-B x + parity bit, exact), "hi32" (48 B: hi-word
+    # prefilter + exact re-verify of flagged rows), "hi16" (40 B:
+    # top-16-bit match words packed two per uint32, same re-verify
+    # contract, ~2^-16 false-flag rate), or "auto" (measure the link vs
+    # the kernel per batch and pick the fastest mode, hysteresis +
+    # density veto; see runtime.executor).
     # CUDASP_UPLOAD fills the "auto" default only (an explicit value wins).
     upload: str = "auto"
 
@@ -443,11 +449,10 @@ def _scan_impl(table, scan_private_key, spend_public_key, label_keys=(),
             p *= 2
         return p
 
-    from .runtime import compile_cache
+    from .runtime import compile_cache, tuning
 
     compile_cache.ensure()
-    block_rows = cfg.block_rows or int(
-        os.environ.get("CUDASP_BLOCK_ROWS", "640"))
+    block_rows = cfg.block_rows or tuning.block_rows_default()
     # Env vars fill the "auto" defaults only — an explicitly-set
     # ScanConfig value always wins (same precedence as CUDASP_BLOCK_ROWS).
     ladder = cfg.ladder if cfg.ladder != "auto" else \
@@ -458,11 +463,13 @@ def _scan_impl(table, scan_private_key, spend_public_key, label_keys=(),
                              backend=cfg.backend, block_rows=block_rows,
                              rebalance=cfg.rebalance,
                              ladder=ladder, upload=upload)
-    # Pallas tile: 524288 rows/dispatch (r3 re-measure: the ~21 ms
-    # dispatch+readback constant is 5%% of a 262144-row tile, halved at
-    # 524288 which probes at 710K vs 690K apparent rows/s; 1M-wide tiles
-    # degrade sharply on v5e). Narrower tiles pay per-dispatch overhead.
-    tile = cfg.tile or (524288 if executor.backend == "pallas" else 8192)
+    # Pallas tile: device-kind default (v5e: 524288 rows/dispatch — the
+    # ~21 ms dispatch+readback constant is 5%% of a 262144-row tile,
+    # halved at 524288 which probes at 710K vs 690K apparent rows/s;
+    # 1M-wide tiles degrade sharply). Narrower tiles pay per-dispatch
+    # overhead; runtime.tuning keys the default off device_kind.
+    tile = cfg.tile or (tuning.tile_default()
+                        if executor.backend == "pallas" else 8192)
     n_scan = tweaks_scan.shape[0]
     eff_batch = min(_pow2_at_least(cfg.batch_size),
                     _pow2_at_least(max(n_scan, 1)), tile)

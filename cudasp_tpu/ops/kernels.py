@@ -10,7 +10,10 @@ kernel invocation takes a tile from tweak-point limbs all the way to match
 flags without touching HBM in between:
 
     decompress (x -> y)      - sqrt(x^3+7) ladder + wire parity bit (tweaks
-                               upload as 32-B x only; see pack_batch_arrays)
+                               upload as 32-B x only; see pack_batch_arrays.
+                               wire="xy" ships the full 64-B point instead
+                               and skips this stage entirely — the fast-
+                               link mode, VERDICT r3 item 2)
     table build (7 pts)      - Jacobian chain + one cross-lane inversion,
                                GLV half-2 derived via the lambda
                                endomorphism (x -> beta*x) instead of a
@@ -24,8 +27,8 @@ flags without touching HBM in between:
                                prefix/suffix scans + one narrow ladder),
                                canonicalize, 1 SHA-256 compression
                                (midstate folded into literals)
-    fixed-base comb (32 win) - one-hot f32 matmuls on the MXU against the
-                               resident 1.3 MB G-multiple table + mixed add
+    fixed-base comb (32 win) - one-hot bf16 matmuls on the MXU against the
+                               resident split G-multiple table + mixed add
     spend/label adds + match - shared-chain + cross-lane inversion,
                                upper-64 extract, semi-join against the
                                padded outputs plane
@@ -41,6 +44,7 @@ have the same exposure).
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 import jax
@@ -56,6 +60,15 @@ from . import scalar as S
 
 TAG_MIDSTATE = tagged_midstate(b"BIP0352/SharedSecret")
 BITLEN = (64 + 37) * 8          # tag block + 37-byte message
+
+# Profiling-only stage ablation (tools/ablate_probe.py): comma-separated
+# stage names whose work is replaced by cheap shape-preserving stand-ins,
+# so (base - ablated) attributes kernel time per stage WITHOUT letting the
+# compiler dead-code the rest of the pipeline. NEVER set in production —
+# ablated kernels return garbage flags. Read at import; each probe runs in
+# a fresh process.
+_ABLATE = frozenset(
+    s for s in os.environ.get("CUDASP_ABLATE", "").split(",") if s)
 
 
 # ---------------------------------------------------------------------------
@@ -77,15 +90,62 @@ def _is_zero2d(a):
     return zero | isp
 
 
+def _shift_up(x, s):
+    """Rows shifted toward higher limb index by s (zeros filled below)."""
+    z = jnp.zeros((s,) + x.shape[1:], dtype=x.dtype)
+    return jnp.concatenate([z, x[: x.shape[0] - s]], axis=0)
+
+
+def _borrow_scan(diff):
+    """Kogge-Stone borrow propagation for a limbwise difference v - p with
+    per-limb values in (-2^13, 2^13]. Returns (bout, bin_, ge):
+    bout[i] = borrow OUT of limb i (int32 0/1, bin into limb 0 is 0),
+    bin_[i] = borrow INTO limb i, ge = (1, BT) bool, true iff the
+    difference is >= 0 (no final borrow) — i.e. v >= p.
+
+    log2(NLIMBS) = 5 passes of shifted and/or, replacing the serial
+    20-where lexicographic compare + 20-pass signed ripple the r3 kernel
+    paid at every canonicalization (VERDICT r3 next-round item 1)."""
+    g = (diff < 0).astype(jnp.int32)
+    pr = (diff == 0).astype(jnp.int32)
+    s = 1
+    while s < F.NLIMBS:
+        g = g | (pr & _shift_up(g, s))
+        pr = pr & _shift_up(pr, s)
+        s *= 2
+    bout = g
+    ge = bout[F.NLIMBS - 1 : F.NLIMBS] == 0
+    return bout, _shift_up(bout, 1), ge
+
+
 def _canon2d(a):
-    """Canonical (< p) limbs; the (1, BT)-shaped port of F.canonical."""
+    """Canonical (< p) limbs; the (1, BT)-shaped port of F.canonical.
+    The conditional subtract resolves its borrows with one parallel-prefix
+    scan (value-exact: sum_i r_i 2^13i telescopes to v - p when ge)."""
     v = F._carry(F._finalize(a), F.NLIMBS)
     diff = v - F._p_col()
-    res = jnp.zeros((1,) + v.shape[1:], dtype=jnp.int32)
-    for i in range(F.NLIMBS - 1, -1, -1):
-        res = jnp.where(res == 0, jnp.sign(diff[i : i + 1]), res)
-    v = jnp.where(res >= 0, diff, v)
-    return F._ripple_signed(v)
+    bout, bin_, ge = _borrow_scan(diff)
+    r = diff - bin_ + (bout << F.LB)
+    return jnp.where(ge, r, v)
+
+
+def _parity2d(a):
+    """Low bit of the canonical value of `a` as (1, BT) int32, without
+    materializing canonical limbs: parity(v mod p) = parity(v) ^ (v >= p)
+    since p is odd and v < 2p after _finalize."""
+    v = F._carry(F._finalize(a), F.NLIMBS)
+    _, _, ge = _borrow_scan(v - F._p_col())
+    return (v[0:1] ^ ge.astype(jnp.int32)) & 1
+
+
+def _mulsafe_with_parity(a):
+    """(mulsafe representative, canonical parity) of `a` — for values used
+    as field operands where only the PARITY needs to be canonical (the
+    decompressed y: its sign select reads the parity, the chain only needs
+    a mulsafe value)."""
+    v = F._carry(F._finalize(a), F.NLIMBS)
+    _, _, ge = _borrow_scan(v - F._p_col())
+    return v, (v[0:1] ^ ge.astype(jnp.int32)) & 1
 
 
 def _words_be_2d(xc):
@@ -291,8 +351,8 @@ def _limbs_from_words(w):
     return jnp.concatenate(rows, axis=0).astype(jnp.int32)
 
 
-def _scan_kernel(nlabels, nout, ladder, hi_only, digits_ref, bmask_ref,
-                 tw_ref, oh_ref, ol_ref, ovm_ref,
+def _scan_kernel(nlabels, nout, ladder, hi_only, wire, digits_ref,
+                 bmask_ref, tw_ref, oh_ref, ol_ref, ovm_ref,
                  sx_ref, sy_ref, lx_ref, ly_ref, comb_ref,
                  out_ref, tabx, taby, sbytes_ref):
     """Grid-step dispatcher: blocks whose validity mask says "no live rows"
@@ -308,13 +368,13 @@ def _scan_kernel(nlabels, nout, ladder, hi_only, digits_ref, bmask_ref,
 
     @pl.when(bmask_ref[i] != 0)
     def _():
-        _scan_block(nlabels, nout, ladder, hi_only, digits_ref,
+        _scan_block(nlabels, nout, ladder, hi_only, wire, digits_ref,
                     tw_ref, oh_ref, ol_ref, ovm_ref,
                     sx_ref, sy_ref, lx_ref, ly_ref, comb_ref,
                     out_ref, tabx, taby, sbytes_ref)
 
 
-def _scan_block(nlabels, nout, ladder, hi_only, digits_ref,
+def _scan_block(nlabels, nout, ladder, hi_only, wire, digits_ref,
                 tw_ref, oh_ref, ol_ref, ovm_ref,
                 sx_ref, sy_ref, lx_ref, ly_ref, comb_ref,
                 out_ref, tabx, taby, sbytes_ref):
@@ -353,11 +413,24 @@ def _scan_block(nlabels, nout, ladder, hi_only, digits_ref,
                | ((ovm16 >> np.uint32(15)) << np.uint32(31)))
     else:
         ovm = ovm_ref[:]               # (1, BT) uint32 bitmask (see below)
-    bx = _limbs_from_words(tw)
-    seven = F.literal_planes(F.int_to_limbs(7), bx.shape[1])
-    y0 = _canon2d(F.sqrt_candidate(F.add(F.mul(F.sqr(bx), bx), seven)))
-    want_odd = ((ovm >> np.uint32(30)) & np.uint32(1)).astype(jnp.int32)
-    by = _sel((y0[0:1] & 1) == want_odd, y0, F.neg(y0))
+    bx = _limbs_from_words(tw[:8])
+    if wire == "xy":
+        # full64 wire: the uncompressed 64-B reference point blob
+        # (src/cudasp_extension.cu:159-163) — y arrives as words 8..15
+        # and the entire sqrt decompress ladder (measured 52 ms of a
+        # 736 ms tile, tools/ablate_probe.py) is skipped. For INVALID y
+        # this computes on the literal (x, y), exactly like the xla
+        # backend and the reference (no backend divergence in this mode).
+        by = _limbs_from_words(tw[8:16])
+    elif "sqrt" in _ABLATE:                # timing probe: garbage y
+        want_odd = ((ovm >> np.uint32(30)) & np.uint32(1)).astype(jnp.int32)
+        by = _sel(want_odd != 0, bx, F.neg(bx))
+    else:
+        want_odd = ((ovm >> np.uint32(30)) & np.uint32(1)).astype(jnp.int32)
+        seven = F.literal_planes(F.int_to_limbs(7), bx.shape[1])
+        y0, y0_par = _mulsafe_with_parity(
+            F.sqrt_candidate(F.add(F.mul(F.sqr(bx), bx), seven)))
+        by = _sel(y0_par == want_odd, y0, F.neg(y0))
     one = F.one_like(bx)
     beta = F.literal_planes(F.int_to_limbs(S.GLV_BETA), bx.shape[1])
 
@@ -365,28 +438,35 @@ def _scan_block(nlabels, nout, ladder, hi_only, digits_ref,
     # Jacobian chain of +2P adds (2P's z^2/z^3 hoisted), then one batched
     # inversion to affine; GLV half-2 is the beta-endomorphism image
     # (shares y), signs are a second y plane (SURVEY.md §7 step 4a).
-    d2x, d2y, d2z = _dbl(bx, by, one)
-    qzz = F.sqr(d2z)
-    qzc = F.mul(d2z, qzz)
-    chain = [_madd_core(d2x, d2y, d2z, bx, by)]          # 3P
-    for _ in range(6):                                   # 5P .. 15P
-        c = chain[-1]
-        chain.append(_jadd_shared_core(c[0], c[1], c[2],
-                                       d2x, d2y, d2z, qzz, qzc))
-    zinvs = _inv_chain_raw([c[2] for c in chain])
-    tabx[0, 0] = bx
-    tabx[1, 0] = F.mul(beta, bx)
-    taby[0, 0] = by
-    taby[1, 0] = F.neg(by)
-    for m in range(1, 8):
-        zi = zinvs[m - 1]
-        zi2 = F.sqr(zi)
-        ax = F.mul(chain[m - 1][0], zi2)
-        ay = F.mul(chain[m - 1][1], F.mul(zi, zi2))
-        tabx[0, m] = ax
-        tabx[1, m] = F.mul(beta, ax)
-        taby[0, m] = ay
-        taby[1, m] = F.neg(ay)
+    if "table" in _ABLATE:                 # timing probe: garbage table
+        for m in range(8):
+            tabx[0, m] = bx
+            tabx[1, m] = by
+            taby[0, m] = bx
+            taby[1, m] = by
+    else:
+        d2x, d2y, d2z = _dbl(bx, by, one)
+        qzz = F.sqr(d2z)
+        qzc = F.mul(d2z, qzz)
+        chain = [_madd_core(d2x, d2y, d2z, bx, by)]          # 3P
+        for _ in range(6):                                   # 5P .. 15P
+            c = chain[-1]
+            chain.append(_jadd_shared_core(c[0], c[1], c[2],
+                                           d2x, d2y, d2z, qzz, qzc))
+        zinvs = _inv_chain_raw([c[2] for c in chain])
+        tabx[0, 0] = bx
+        tabx[1, 0] = F.mul(beta, bx)
+        taby[0, 0] = by
+        taby[1, 0] = F.neg(by)
+        for m in range(1, 8):
+            zi = zinvs[m - 1]
+            zi2 = F.sqr(zi)
+            ax = F.mul(chain[m - 1][0], zi2)
+            ay = F.mul(chain[m - 1][1], F.mul(zi, zi2))
+            tabx[0, m] = ax
+            tabx[1, m] = F.mul(beta, ax)
+            taby[0, m] = ay
+            taby[1, m] = F.neg(ay)
 
     if ladder == "wnaf":
         # ---- interleaved width-5 wNAF ladder (scalar.glv_wnaf_steps):
@@ -440,7 +520,8 @@ def _scan_block(nlabels, nout, ladder, hi_only, digits_ref,
                 px, py, pz = _madd_core(px, py, pz, qx, qy)
             return px, py, pz
 
-        ex, ey, ez = jax.lax.fori_loop(1, S.ODD_WINDOWS, window,
+        nwin = 2 if "ladder" in _ABLATE else S.ODD_WINDOWS  # timing probe
+        ex, ey, ez = jax.lax.fori_loop(1, nwin, window,
                                        (px, py, pz))
 
         # parity corrections: halves recoded as K+e need a final -sign*e*P_h
@@ -458,16 +539,29 @@ def _scan_block(nlabels, nout, ladder, hi_only, digits_ref,
     # cannot legalize scf.for loops with i1-vector carries
 
     # ---- serialize + tagged hash (src/cudasp_gpu.cu:236-314 equivalent)
-    zi = _inv_chain_raw([ez])[0]
-    zi2 = F.sqr(zi)
-    x_aff = _canon2d(F.mul(ex, zi2))
-    y_aff = _canon2d(F.mul(ey, F.mul(zi, zi2)))
-    parity = (y_aff[0:1] & 1).astype(jnp.uint32)
-    hw = _tagged_hash_2d(_words_be_2d(x_aff), parity)
-    # staged through scratch: Mosaic only supports dynamic indexing on
-    # refs. (An unrolled-window variant with static value slices measured
-    # perf-neutral on chip but ~2x the tracing/compile time — reverted.)
-    sbytes_ref[:] = _bytes_from_words_2d(hw)       # (32, BT) int32
+    if "serialize" in _ABLATE:             # timing probe: skip inv+hash
+        # keep the ladder output live (ex) so the compiler can't DCE it
+        sbytes_ref[:] = _bytes_from_words_2d(tw[:8]) + ex[:1]
+    elif "hash" in _ABLATE:                # timing probe: inv+canon, no SHA
+        zi = _inv_chain_raw([ez])[0]
+        zi2 = F.sqr(zi)
+        x_aff = _canon2d(F.mul(ex, zi2))
+        parity = _parity2d(F.mul(ey, F.mul(zi, zi2))).astype(jnp.uint32)
+        sbytes_ref[:] = (_bytes_from_words_2d(_words_be_2d(x_aff))
+                         + parity.astype(jnp.int32))
+    else:
+        zi = _inv_chain_raw([ez])[0]
+        zi2 = F.sqr(zi)
+        x_aff = _canon2d(F.mul(ex, zi2))
+        # only the affine y's PARITY is consumed (the 02/03 prefix byte),
+        # so skip the full canonicalization the r3 kernel paid here
+        parity = _parity2d(F.mul(ey, F.mul(zi, zi2))).astype(jnp.uint32)
+        hw = _tagged_hash_2d(_words_be_2d(x_aff), parity)
+        # staged through scratch: Mosaic only supports dynamic indexing on
+        # refs. (An unrolled-window variant with static value slices
+        # measured perf-neutral on chip but ~2x the compile time —
+        # reverted.)
+        sbytes_ref[:] = _bytes_from_words_2d(hw)   # (32, BT) int32
 
     # ---- fixed-base comb: t x G via one-hot MXU selects (replaces
     # ECDSACONST.d_mul_table walks, src/cudasp_gpu.cu:317-354)
@@ -477,15 +571,18 @@ def _scan_block(nlabels, nout, ladder, hi_only, digits_ref,
     def comb_window(i, carry):
         px, py, pz, pinf_i = carry
         pinf = pinf_i != 0
-        tab = comb_ref[i]                          # (2*NLIMBS, 256) f32
+        tab = comb_ref[i]                          # (4*NLIMBS, 256) bf16
         byte = sbytes_ref[pl.ds(i, 1), :]                   # (1, BT)
-        onehot = (iota == byte).astype(jnp.float32)
-        sel = jax.lax.dot_general(
+        onehot = (iota == byte).astype(jnp.bfloat16)
+        # split-table select: rows [0:2N] hold entry>>7, [2N:4N] entry&127
+        # — both exact in bf16, so ONE default-precision MXU pass replaces
+        # the f32 HIGHEST 6-pass decomposition (comb_table_kernel)
+        mm = jax.lax.dot_general(
             tab, onehot,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
         ).astype(jnp.int32)
+        sel = (mm[: 2 * F.NLIMBS] << 7) + mm[2 * F.NLIMBS :]
         qx, qy = sel[: F.NLIMBS], sel[F.NLIMBS:]
         ax, ay, az = _madd_core(px, py, pz, qx, qy)
         qinf = byte == 0
@@ -494,8 +591,9 @@ def _scan_block(nlabels, nout, ladder, hi_only, digits_ref,
         pz = _sel(qinf, pz, _sel(pinf, one, az))
         return px, py, pz, (pinf & qinf).astype(jnp.int32)
 
+    ncomb = 2 if "comb" in _ABLATE else 32          # timing probe
     ox, oy, oz, oinf_i = jax.lax.fori_loop(
-        0, 32, comb_window, (zeros, zeros, zeros, inf0))
+        0, ncomb, comb_window, (zeros, zeros, zeros, inf0))
     oinf = oinf_i != 0
 
     # ---- + spend, + labels, upper-64 semi-join (src/cudasp_gpu.cu:74-178)
@@ -519,7 +617,7 @@ def _scan_block(nlabels, nout, ladder, hi_only, digits_ref,
     # exact second pass (runtime.executor._run_pallas). ~2^-32 false-flag
     # rate per compared output entry.
     # hi_only="hi16": the upload shrinks further to the TOP 16 bits of
-    # each match value, two per uint32 word (42 B/row at 3 outputs);
+    # each match value, two per uint32 word (40 B/row at 3 outputs);
     # ~2^-16 false-flag rate, same exact-reverify contract.
     if hi_only == "hi16":
         # oh rows are packed pairs: word w = top16(out[2w]) |
@@ -534,16 +632,21 @@ def _scan_block(nlabels, nout, ladder, hi_only, digits_ref,
         axis=0) != 0                   # (M, BT) bool
     rv = ((ovm >> np.uint32(31)) & np.uint32(1)) != 0
     hit = jnp.zeros((1, ex.shape[1]), jnp.bool_)
-    for (cx, _, cz, cinf), czi in zip(cands, zinvs):
-        x_can = _canon2d(F.mul(cx, F.sqr(czi)))
-        words = _words_be_2d(x_can)
-        dead = cinf | _is_zero2d(cz)
-        w0 = (words[0:1] >> np.uint32(16) if hi_only == "hi16"
-              else words[0:1])
-        eq = (w0 == oh) & ov
-        if not hi_only:
-            eq = eq & (words[1:2] == ol)
-        hit = hit | (jnp.any(eq, axis=0, keepdims=True) & ~dead)
+    if "match" in _ABLATE:                 # timing probe: keep candidate
+        # adds live, skip the shared inversion + canon + compare
+        for cx, _, cz, cinf in cands:
+            hit = hit | (((cx[0:1] + cz[0:1]) & 1) != 0)
+    else:
+        for (cx, _, cz, cinf), czi in zip(cands, zinvs):
+            x_can = _canon2d(F.mul(cx, F.sqr(czi)))
+            words = _words_be_2d(x_can)
+            dead = cinf | _is_zero2d(cz)
+            w0 = (words[0:1] >> np.uint32(16) if hi_only == "hi16"
+                  else words[0:1])
+            eq = (w0 == oh) & ov
+            if not hi_only:
+                eq = eq & (words[1:2] == ol)
+            hit = hit | (jnp.any(eq, axis=0, keepdims=True) & ~dead)
 
     out_ref[:] = (hit & rv).astype(jnp.int8)   # int8: flags D2H rides the
     # same ~50 MB/s tunnel as uploads; 4x smaller readback than int32
@@ -551,13 +654,14 @@ def _scan_block(nlabels, nout, ladder, hi_only, digits_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("nlabels", "block_rows", "interpret",
-                                    "ladder", "hi_only", "nout"))
+                                    "ladder", "hi_only", "nout", "wire"))
 def _scan_pallas_call(tweak_words, outputs_hi, outputs_lo, outputs_mask,
                       digits, spend_x, spend_y,
                       label_x, label_y, comb, blockmask=None, *, nlabels,
                       block_rows, interpret=False, ladder="fixed",
-                      hi_only=False, nout=None):
+                      hi_only=False, nout=None, wire="x"):
     B = tweak_words.shape[1]
+    TW = 16 if wire == "xy" else 8       # uploaded tweak word rows
     Mp = outputs_hi.shape[0]          # uploaded oh rows (packed for hi16)
     M = Mp if nout is None else int(nout)   # real outputs per row
     L = label_x.shape[0]
@@ -593,12 +697,12 @@ def _scan_pallas_call(tweak_words, outputs_hi, outputs_lo, outputs_mask,
         num_scalar_prefetch=2 if skip else 1,
         grid=(B // block_rows,),
         in_specs=[
-            col_block(8),                        # raw LE x words (compressed)
+            col_block(TW),                       # raw LE words (x | x,y)
             col_block(Mp), lo_spec,              # outputs hi/lo
             ovm_spec,                            # validity bitmask
             fixed((N, block_rows)), fixed((N, block_rows)),        # spend
             fixed((L, N, block_rows)), fixed((L, N, block_rows)),  # labels
-            fixed((32, 2 * N, 256)),             # comb table
+            fixed((32, 4 * N, 256)),             # comb table (bf16 split)
         ],
         out_specs=col_block(1),
         scratch_shapes=[
@@ -607,9 +711,11 @@ def _scan_pallas_call(tweak_words, outputs_hi, outputs_lo, outputs_mask,
             pltpu.VMEM((32, block_rows), jnp.int32),        # hash bytes
         ],
     )
-    kern = (functools.partial(_scan_kernel, nlabels, M, ladder, hi_only)
+    kern = (functools.partial(_scan_kernel, nlabels, M, ladder, hi_only,
+                              wire)
             if skip
-            else functools.partial(_scan_block, nlabels, M, ladder, hi_only))
+            else functools.partial(_scan_block, nlabels, M, ladder,
+                                   hi_only, wire))
     args = ((digits, blockmask) if skip else (digits,)) + (
         tweak_words, outputs_hi, outputs_lo, outputs_mask,
         sxw, syw, lxw, lyw, comb)
@@ -628,7 +734,7 @@ def _scan_pallas_call(tweak_words, outputs_hi, outputs_lo, outputs_mask,
 
 @functools.lru_cache(maxsize=32)
 def _sharded_scan_fn(mesh, nlabels, block_rows, interpret, skip=False,
-                     ladder="fixed", hi_only=False, nout=None):
+                     ladder="fixed", hi_only=False, nout=None, wire="x"):
     """shard_map-wrapped scan over the mesh's 'data' axis: each chip runs
     the Pallas grid over its local row shard; no collectives are needed
     inside the kernel (rows are independent — SURVEY.md §2.4). This is the
@@ -648,7 +754,8 @@ def _sharded_scan_fn(mesh, nlabels, block_rows, interpret, skip=False,
     fn = jax.shard_map(
         functools.partial(_scan_pallas_call, nlabels=nlabels,
                           block_rows=block_rows, interpret=interpret,
-                          ladder=ladder, hi_only=hi_only, nout=nout),
+                          ladder=ladder, hi_only=hi_only, nout=nout,
+                          wire=wire),
         mesh=mesh,
         in_specs=specs,
         out_specs=lane,
@@ -661,7 +768,7 @@ def scan_pallas_sharded(mesh, tweak_words, outputs_hi, outputs_lo,
                         outputs_mask, digits, spend_x, spend_y,
                         label_x, label_y, comb, blockmask=None, *, nlabels,
                         block_rows=256, interpret=False, ladder="fixed",
-                        hi_only=False, nout=None):
+                        hi_only=False, nout=None, wire="x"):
     """Multi-chip fused scan: batch lanes sharded over mesh axis 'data'.
     B must be a multiple of n_devices * block_rows. blockmask: (B //
     block_rows,) int32, nonzero where the block has live rows (lanes are
@@ -677,7 +784,7 @@ def scan_pallas_sharded(mesh, tweak_words, outputs_hi, outputs_lo,
                           str(ladder),
                           hi_only if isinstance(hi_only, str)
                           else bool(hi_only),
-                          None if nout is None else int(nout))
+                          None if nout is None else int(nout), str(wire))
     args = (tweak_words, outputs_hi, outputs_lo, outputs_mask, digits,
             spend_x, spend_y, label_x, label_y, comb)
     if blockmask is not None:
@@ -698,7 +805,7 @@ def live_blockmask(n_live: int, n_blocks: int, block_rows: int):
 
 def pack_batch_arrays(tweak_blobs, row_valid, outputs_hi, outputs_lo,
                       outputs_valid, block_rows: int = 256,
-                      hi_only: bool = False):
+                      hi_only: bool = False, wire: str = "x"):
     """Host-side layout conversion of one packed batch into the kernel's
     compact planes (~60 B/row at 3 outputs/row; the H2D link — ~50 MB/s
     through the axon tunnel — is the scan's bandwidth bottleneck):
@@ -709,6 +816,12 @@ def pack_batch_arrays(tweak_blobs, row_valid, outputs_hi, outputs_lo,
       oh/ol       (M, Bp)  uint32 — match words
       ovm         (1, Bp)  uint32 — bit j = outputs_valid[:, j];
                                     bit 30 = y parity; bit 31 = row_valid
+
+    wire="xy" ships the FULL 64-B point (x words then y words, 16 uint32
+    rows — the reference's own wire format, src/cudasp_extension.cu:
+    159-163; 92 B/row at 3 outputs): the kernel skips the sqrt decompress
+    entirely. The fastest mode when the H2D link outruns the kernel
+    (real PCIe hosts); mutually exclusive with the hi_only cuts.
 
     hi_only=True replaces ol with a (M, 1) dummy (48 B/row at 3 outputs):
     the kernel then matches on hi32 words only and the executor re-checks
@@ -737,8 +850,12 @@ def pack_batch_arrays(tweak_blobs, row_valid, outputs_hi, outputs_lo,
         widths[-1] = (0, pad)
         return np.pad(a, widths)
 
+    if wire == "xy" and hi_only:
+        raise ValueError("wire='xy' (full64) is a full-upload mode; "
+                         "combine it with hi_only cuts makes no sense")
     blobs = np.ascontiguousarray(tweak_blobs, np.uint8)
-    words = np.ascontiguousarray(blobs[:, :32]).view(np.uint32).T
+    nw = 64 if wire == "xy" else 32
+    words = np.ascontiguousarray(blobs[:, :nw]).view(np.uint32).T
     words = np.ascontiguousarray(words)
     ovm = np.zeros(B, np.uint32)
     ov = np.asarray(outputs_valid)
@@ -803,10 +920,18 @@ def scan_batch_pallas(tweak_blobs, row_valid, outputs_hi, outputs_lo,
         *(jnp.asarray(a) for a in planes), jnp.asarray(digits),
         jnp.asarray(spend_x), jnp.asarray(spend_y),
         jnp.asarray(label_x), jnp.asarray(label_y),
-        comb_table_f32(), jnp.asarray(bmask) if bmask is not None else None,
+        comb_table_kernel(), jnp.asarray(bmask) if bmask is not None else None,
         nlabels=nlabels, block_rows=block_rows, ladder=ladder)
     return flags[0, :B] != 0
 
 
-def comb_table_f32():
-    return jnp.asarray(S.comb_table())
+def comb_table_kernel():
+    """Comb table in the fused kernel's operand format: (32, 4N, 256)
+    bfloat16, rows [0:2N] = entry >> 7, rows [2N:4N] = entry & 127. Both
+    halves are < 2^7 so they are EXACT in bf16, and the one-hot select
+    becomes a single default-precision bf16 MXU matmul (f32 HIGHEST costs
+    a 6-pass decomposition for the same exactness — ROADMAP r3 lever 4;
+    the two halves ride one matmul: M=80 still fits the 128-row MXU)."""
+    t = S.comb_table_np()
+    return jnp.asarray(np.concatenate([t >> 7, t & 127],
+                                      axis=1).astype(jnp.bfloat16))

@@ -68,7 +68,7 @@ def _candidate_match(point, zinv, outputs_hi, outputs_lo, outputs_valid):
 def _ecdh(tweak_x, tweak_y, scan_windows):
     """rows -> ecdh point (flat arrays). The scalar arrives as a
     host-computed GLV window schedule pytree (w1, sign1, w2, sign2)."""
-    w1, n1, w2, n2 = scan_windows[:4]   # [4]=signed digits (Pallas path)
+    w1, n1, w2, n2 = scan_windows[:4]   # tail fields = Pallas schedules
     tweaks = C.affine(tweak_x, tweak_y)
     p = S.ecdh_shared_scalar_glv(w1, n1, w2, n2, tweaks)
     return p.x, p.y, p.z, p.inf

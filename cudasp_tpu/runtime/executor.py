@@ -75,6 +75,19 @@ class BatchExecutor:
     # ships hi32 from batch 0 — without this, each scan's hi_ready gate
     # starts cold and short scans never apply the measured decision.
     _warm_keys: set = set()
+    # Live prewarm threads (class-wide), so cache-seeding tools and tests
+    # can wait for background compiles to land before reading the cache.
+    _prewarm_threads: list = []
+
+    @classmethod
+    def join_prewarm(cls, timeout: float = 600.0) -> None:
+        """Block until all background variant compiles finish."""
+        deadline = __import__("time").monotonic() + timeout
+        for th in list(cls._prewarm_threads):
+            th.join(timeout=max(0.0,
+                                deadline - __import__("time").monotonic()))
+        cls._prewarm_threads = [t for t in cls._prewarm_threads
+                                if t.is_alive()]
 
     def __init__(self, mesh=None, fused: bool = False,
                  backend: str = "auto", block_rows: int = 640,
@@ -102,11 +115,12 @@ class BatchExecutor:
         # on the bench chip: fixed+full 508K tx/s vs wnaf+full 400K —
         # VERDICT r2). Both are data-driven (no per-key recompile).
         self._ladder = {"auto": "fixed"}.get(ladder, ladder)
-        # upload: "full" (exact 60 B/row batches), "hi32" (48 B/row hi32
-        # prefilter + exact re-verify of flagged rows), or "auto" (measure
-        # batch 0: cut the lo plane only when the H2D link, not the kernel,
-        # bounds the scan). Pallas path only; the rebalanced-exchange path
-        # always ships full planes.
+        # upload (B/row at 3 outputs): "full64" (92 B, uncompressed point,
+        # kernel skips the sqrt decompress), "full" (60 B, exact), "hi32"
+        # (48 B prefilter + exact re-verify), "hi16" (40 B, same), or
+        # "auto" (model per batch: max(upload_time, kernel_time) per mode,
+        # measured link rate + memoized kernel time). Pallas path only;
+        # the rebalanced-exchange path always ships full planes.
         self._upload = upload
 
     @property
@@ -137,6 +151,9 @@ class BatchExecutor:
     def _run_xla(self, batches, scan_windows, spend_x, spend_y,
                  label_x, label_y, nlabels, metrics):
         fn = PL.scan_batch_fused if self._fused else PL.scan_batch
+        # ship only the fields the XLA pipeline consumes (the Pallas
+        # ladder schedules in the tail of ScanSchedule stay on host)
+        scan_windows = tuple(scan_windows[:4])
         if self._shardings is not None:
             w, sx, sy, lx, ly = self._shardings.put_query(
                 scan_windows, spend_x, spend_y, label_x, label_y)
@@ -192,7 +209,7 @@ class BatchExecutor:
         digits = jnp.asarray(np.asarray(sched, np.int32))
         sx, sy, lx, ly = (jnp.asarray(a) for a in K.pack_query_arrays(
             spend_x, spend_y, label_x, label_y, br))
-        comb = K.comb_table_f32()
+        comb = K.comb_table_kernel()
 
         mesh = self._shardings.mesh if self._shardings is not None else None
         ndev = mesh.devices.size if mesh is not None else 1
@@ -204,60 +221,74 @@ class BatchExecutor:
         # time the upload truly: on the axon tunnel block_until_ready does
         # not block), so it only runs when metrics are being emitted.
         detail = metrics is not None and bool(os.environ.get("CUDASP_METRICS"))
-        # Upload-cut state (VERDICT r1 lever 1 + r3 hi16). "auto" ships
-        # batch 0 full while measuring its upload and kernel times; if the
-        # H2D link is the bottleneck, later batches drop the lo-32 match
-        # plane and pack the hi words to 16 bits (60 -> 42 B/row at 3
-        # outputs) and flagged rows get an exact second pass. The
-        # rebalanced-exchange path always ships full. Explicit modes:
-        # "hi32" (48 B/row) and "hi16" (42 B/row).
+        # Upload-mode state (VERDICT r1 lever 1, r3 hi16, r4 full64).
+        # "auto" ships batch 0 full (32-B x + parity) while measuring its
+        # upload and kernel times, then picks per batch among:
+        #   full64 (92 B/row @3 outputs, kernel skips the sqrt decompress
+        #           — wins when the link outruns the kernel: PCIe hosts),
+        #   full   (60 B/row, exact),
+        #   hi16/hi32 (40/48 B/row prefilter + exact reverify — wins when
+        #           the link is the bottleneck: the axon tunnel).
+        # The rebalanced-exchange path always ships full.
         #
         # The flip NEVER compiles inside the scan (BENCH_r02's 222 s first
         # run was exactly that): "want" records the measured preference and
-        # the feeder applies it only once the background prewarm thread has
-        # compiled the cut-variant program (hi_ready). Until then batches
-        # ship full through the already-compiled program.
+        # the feeder applies it only once its program is compiled (the
+        # process-wide _warm_keys registry, filled by the background
+        # prewarm thread). Until then batches ship full.
         auto = self._upload == "auto" and not rebalance and not interpret
-        hi_ready = threading.Event()
         memo = BatchExecutor._auto_memo
         upload_state = {
             "mode": (self._upload
-                     if self._upload in ("hi32", "hi16") and not rebalance
+                     if self._upload in ("hi32", "hi16", "full64")
+                     and not rebalance
                      else "full"),    # explicit modes apply immediately
-            "want": ("hi16" if memo.get("decision") == "hi16" else None)
-                    if auto else None,
-            "uploads": [],            # rolling H2D measurements (auto)
-            "kernel0": memo.get("kernel0") if auto else None,
+            "want": None,             # auto's measured preference
+            "uploads": [],            # rolling (seconds, bytes) H2D times
+            "kernel0": None,          # batch-0 kernel time (memo per shape)
+            "mkey": None,             # memo key (set at batch 0)
+            "veto": False,            # density veto: cuts off, sticky
             "hi_rows": 0,             # cut-mode rows (density feedback)
             "flagged": 0,             # ...of which needed the exact pass
+            "M": None, "width": None, "cut_tag": "hi16",
         }
-        # the serialized batch-0 kernel measurement runs once per process
-        # (the chip's kernel rate is stable); upload timings re-measure on
-        # EVERY auto scan and batch, because the link drifts 3-4x within
-        # hours (ROADMAP r3) — a frozen decision loses either way
-        measure = auto and upload_state["kernel0"] is None
+        # measured on this v5e by tools/ablate_probe.py (r4): the sqrt
+        # decompress the full64 wire removes is 7.1% of the fused kernel
+        SQRT_SHARE = 0.071
 
         def _decide():
-            """Re-evaluate the upload mode from the rolling upload window
-            (min of the last few: the first transfer pays tunnel/runtime
-            spin-up and over-reads) vs the memoized batch-0 kernel time.
-            Timings are scaled to full-plane bytes so a cut-mode
-            measurement doesn't bias the comparison. Hysteresis keeps the
-            mode from thrashing near the threshold; the density veto is
-            sticky for the scan."""
+            """Re-pick the upload mode from the rolling link-rate window
+            vs the memoized batch-0 kernel time, by modeled batch latency
+            t(mode) = max(bytes(mode)/link_rate, kernel(mode)). The
+            kernel0 measurement runs once per program shape per process
+            (the chip is stable); upload timings re-measure on EVERY auto
+            batch because the link drifts 3-4x within hours (ROADMAP r3).
+            Hysteresis (15%) keeps the mode from thrashing; the density
+            veto removes the prefilter cuts for the rest of the scan."""
             k0 = upload_state["kernel0"]
             ups = upload_state["uploads"][-4:]
             if k0 is None or not ups:
                 return
-            up = min(u * full / sent for u, sent, full in ups)
-            if upload_state["want"] == "full":   # density veto
-                return
-            if up > 1.15 * k0:
-                upload_state["want"] = "hi16"
-            elif up < 0.85 * k0:
-                upload_state["want"] = None
+            rate = max(sent / dt for dt, sent in ups)    # B/s, best recent
+            w, M = upload_state["width"], upload_state["M"]
+            cut = upload_state["cut_tag"]
+            cut_rows = (8 + M + 1 if cut == "hi32"
+                        else 8 + (M + 2) // 2)
+            cand = {
+                "full64": max(4 * w * (16 + 2 * M + 1) / rate,
+                              k0 * (1.0 - SQRT_SHARE)),
+                "full": max(4 * w * (8 + 2 * M + 1) / rate, k0),
+                cut: max(4 * w * cut_rows / rate, k0),
+            }
+            if upload_state["veto"]:
+                del cand[cut]
+            cur = upload_state["want"] or "full"
+            best = min(cand, key=cand.get)
+            if best != cur and cand[best] < 0.85 * cand.get(
+                    cur, float("inf")):
+                upload_state["want"] = None if best == "full" else best
 
-        def dispatch(dev, bmask, hi_only=False, nout=None):
+        def dispatch(dev, bmask, hi_only=False, nout=None, wire="x"):
             if rebalance:
                 from ..parallel import exchange
 
@@ -270,11 +301,11 @@ class BatchExecutor:
                 return K._scan_pallas_call(
                     *dev, digits, sx, sy, lx, ly, comb, bmask,
                     nlabels=nlabels, block_rows=br, ladder=ladder,
-                    hi_only=hi_only, nout=nout)
+                    hi_only=hi_only, nout=nout, wire=wire)
             return K.scan_pallas_sharded(
                 mesh, *dev, digits, sx, sy, lx, ly, comb, bmask,
                 nlabels=nlabels, block_rows=br, interpret=interpret,
-                ladder=ladder, hi_only=hi_only, nout=nout)
+                ladder=ladder, hi_only=hi_only, nout=nout, wire=wire)
 
         # Host packing + H2D upload run on a feeder thread so the transfer
         # of batch i+1 rides alongside the kernel of batch i (the role of
@@ -300,11 +331,21 @@ class BatchExecutor:
             """Identity of one compiled kernel variant (jit-signature-ish)."""
             return (mesh, nlabels, br, ladder, int(width), int(M), tag)
 
-        def cut_tag_for(M):
-            """auto's upload-cut variant for this outputs width: hi16
-            normally; hi32 when M > 14 (the packed validity unit needs
-            bits 14/15, so hi16 tops out at 14 outputs per row)."""
-            return "hi16" if M <= 14 else "hi32"
+        def cut_tag_for(M, want="hi16"):
+            """The upload-cut variant actually usable at this outputs
+            width: hi16 wanted (auto or explicit) downgrades to hi32 when
+            M > 14 — the packed validity unit needs bits 14/15, so hi16
+            tops out at 14 outputs per row. An explicit upload="hi16"
+            therefore degrades gracefully instead of raising mid-scan
+            inside the feeder (ADVICE r3)."""
+            if want == "hi16" and M > 14:
+                import warnings
+
+                warnings.warn(
+                    f"hi16 upload supports at most 14 outputs/row "
+                    f"(got {M}); using hi32", stacklevel=2)
+                return "hi32"
+            return want
 
         def upload_planes(planes, hi_only, pad_width=None):
             """One combined H2D transfer per batch + device-side split.
@@ -371,29 +412,34 @@ class BatchExecutor:
                     return jax.device_put(z, sh)
 
                 variants = []
-                if upload_state["mode"] in ("hi32", "hi16"):
-                    variants.append(upload_state["mode"])
+                if upload_state["mode"] in ("hi32", "hi16", "full64"):
+                    m0 = upload_state["mode"]
+                    variants.append(m0 if m0 == "full64"
+                                    else cut_tag_for(M, m0))
                 elif auto:
-                    # always warm the cut variant: the link can degrade
-                    # mid-scan and the per-batch decision must be able to
-                    # flip without compiling
+                    # warm both directions the per-batch decision can
+                    # flip to: the cut variant (link can degrade mid-scan)
+                    # and the full64 wire (link can outrun the kernel)
                     variants.append(cut_tag_for(M))
+                    variants.append("full64")
                 variants.append(None)                 # full, skip (tail)
                 nblk = width // br
-                for hi in variants:
+                for tag in variants:
                     if stop.is_set():
                         return
-                    hi_val = (True if hi == "hi32" else
-                              "hi16" if hi == "hi16" else False)
-                    if hi == "hi16":      # packed units + dummy lo/ovm
+                    hi_val = (True if tag == "hi32" else
+                              "hi16" if tag == "hi16" else False)
+                    wire = "xy" if tag == "full64" else "x"
+                    if tag == "hi16":     # packed units + dummy lo/ovm
                         dev = (zdev((8, width)), zdev(((M + 2) // 2, width)),
                                zdev((1, 1)), zdev((1, 1)))
                     else:
-                        dev = (zdev((8, width)), zdev((M, width)),
-                               zdev((M, 1) if hi else (M, width)),
+                        tw_rows = 16 if tag == "full64" else 8
+                        dev = (zdev((tw_rows, width)), zdev((M, width)),
+                               zdev((M, 1) if hi_val else (M, width)),
                                zdev((1, width)))
                     bmask = None
-                    if hi is None:                    # tail/skip variant
+                    if tag is None:                   # tail/skip variant
                         m = np.ones(nblk, np.int32)
                         m[-1] = 0
                         bmask = jnp.asarray(m)
@@ -402,11 +448,9 @@ class BatchExecutor:
                                 mesh, PartitionSpec("data")))
                     jax.block_until_ready(dispatch(
                         dev, bmask, hi_only=hi_val,
-                        nout=M if hi == "hi16" else None))
+                        nout=M if tag == "hi16" else None, wire=wire))
                     BatchExecutor._warm_keys.add(
-                        vkey(width, M, hi if hi else "skip"))
-                    if hi:
-                        hi_ready.set()
+                        vkey(width, M, tag if tag else "skip"))
             except Exception:                         # pragma: no cover
                 pass                                  # prewarm is advisory
 
@@ -426,32 +470,49 @@ class BatchExecutor:
                     width = max(width, pad_to,
                                 ((n + pad_to - 1) // pad_to) * pad_to)
                     M_b = b.outputs_hi.shape[1]
-                    cut_tag = (upload_state["mode"]
-                               if upload_state["mode"] in ("hi32", "hi16")
-                               else cut_tag_for(M_b))
-                    if i == 0 and vkey(width, M_b,
-                                       cut_tag) in BatchExecutor._warm_keys:
-                        # a previous scan compiled this cut program: the
-                        # measured decision can apply from batch 0
-                        hi_ready.set()
+                    cut_tag = cut_tag_for(
+                        M_b, upload_state["mode"]
+                        if upload_state["mode"] in ("hi32", "hi16")
+                        else "hi16")
+                    if i == 0:
+                        # publish batch-0 shape facts for _decide and the
+                        # memoized kernel measurement; a prior scan's
+                        # memoized decision applies from batch 0
+                        upload_state["M"] = M_b
+                        upload_state["width"] = width
+                        upload_state["cut_tag"] = cut_tag
+                        upload_state["mkey"] = vkey(width, M_b, "kernel0")
+                        if auto:
+                            mm = memo.get(upload_state["mkey"], {})
+                            upload_state["kernel0"] = mm.get("kernel0")
+                            upload_state["want"] = mm.get("decision")
                     n_live = int(b.row_valid.sum())
                     will_skip = (not rebalance and
                                  K.live_blockmask(n_live, width // br, br)
                                  is not None)
-                    # the upload cut applies to skip-free batches only (the
-                    # tail ships full: one fewer kernel variant to compile)
-                    # and, under auto, only once its program is compiled
-                    cut = upload_state["mode"] in ("hi32", "hi16") or (
-                        upload_state["want"] == "hi16"
-                        and hi_ready.is_set())
-                    hi_only = False
-                    if cut and not will_skip:
-                        hi_only = (True if cut_tag == "hi32" else "hi16")
-                        upload_state["cut_used"] = cut_tag
+                    # non-full modes apply to skip-free batches only (the
+                    # tail ships full: one fewer kernel variant to
+                    # compile) and, under auto, only once their program is
+                    # compiled (the process-wide _warm_keys registry)
+                    target = upload_state["mode"]
+                    if target == "full" and auto and upload_state["want"]:
+                        w_tag = upload_state["want"]
+                        if vkey(width, M_b, w_tag) in \
+                                BatchExecutor._warm_keys:
+                            target = w_tag
+                    if target in ("hi32", "hi16"):
+                        target = cut_tag
+                    if will_skip:
+                        target = "full"
+                    hi_only = (True if target == "hi32" else
+                               "hi16" if target == "hi16" else False)
+                    wire = "xy" if target == "full64" else "x"
+                    if target != "full":
+                        upload_state["cut_used"] = target
                     planes = K.pack_batch_arrays(
                         blobs, b.row_valid, b.outputs_hi,
                         b.outputs_lo, b.outputs_valid, width,
-                        hi_only=hi_only)
+                        hi_only=hi_only, wire=wire)
                     srcs = b.source_rows
                     if rebalance:
                         # source-row planes ride the exchange with their
@@ -476,13 +537,7 @@ class BatchExecutor:
                         dt = time.perf_counter() - t0
                         if auto:
                             sent = sum(a.nbytes for a in planes)
-                            # full-plane bytes for this width/M (what a
-                            # mode="full" batch of the same shape ships)
-                            M_real = b.outputs_hi.shape[1]
-                            w = planes[0].shape[1]
-                            full = 4 * w * (8 + 2 * M_real + 1)
-                            upload_state["uploads"].append(
-                                (dt, sent, full))
+                            upload_state["uploads"].append((dt, sent))
                             _decide()
                         if detail:
                             metrics.upload_seconds += dt
@@ -508,7 +563,7 @@ class BatchExecutor:
                                 NamedSharding(mesh, PartitionSpec("data")))
                     payload = b if hi_only else None
                     if not put((i, n, (dev, bmask), srcs, payload,
-                                hi_only)):
+                                hi_only, wire)):
                         return
             except Exception as e:                      # noqa: BLE001
                 put(e)
@@ -550,14 +605,18 @@ class BatchExecutor:
                         p.outputs_lo[flagged].copy(),
                         p.outputs_valid[flagged].copy()))
                 # density feedback: when most rows get flagged (high-match
-                # tables), hi32 roughly doubles device work — revert auto
-                # to full uploads for the rest of the scan (sticky)
+                # tables), the prefilter roughly doubles device work —
+                # veto the cut modes for the rest of the scan (sticky);
+                # _decide re-picks among full/full64
                 upload_state["hi_rows"] += n
                 upload_state["flagged"] += len(flagged)
                 if (auto and upload_state["hi_rows"] >= pad_to
                         and upload_state["flagged"]
                         > 0.05 * upload_state["hi_rows"]):
-                    upload_state["want"] = "full"
+                    upload_state["veto"] = True
+                    if upload_state["want"] in ("hi16", "hi32"):
+                        upload_state["want"] = None
+                    _decide()
                 return
             results.append([fl, srcs])
 
@@ -618,18 +677,18 @@ class BatchExecutor:
                     break
                 if isinstance(item, Exception):
                     raise ExecutionError(nb, item) from item
-                i, n, (dev, bmask), srcs, payload, hi_val = item
+                i, n, (dev, bmask), srcs, payload, hi_val, wire = item
                 scan_width = max(scan_width, dev[0].shape[1])
                 nb += 1
                 try:
                     flags = dispatch(
                         dev, bmask, hi_only=hi_val,
                         nout=(payload.outputs_hi.shape[1]
-                              if hi_val == "hi16" else None))
+                              if hi_val == "hi16" else None), wire=wire)
                 except Exception as e:                  # noqa: BLE001
                     raise ExecutionError(i, e) from e
                 in_flight.append((n, flags, srcs, payload))
-                if measure and i == 0:
+                if auto and i == 0 and upload_state["kernel0"] is None:
                     # measure the bare kernel on batch 0: dispatch()
                     # returned after compilation, inputs are resident (the
                     # feeder synced the transfer), the device is otherwise
@@ -655,6 +714,8 @@ class BatchExecutor:
                         args=(dev[0].shape[1], M_real),
                         daemon=True)
                     self._prewarm_thread.start()
+                    BatchExecutor._prewarm_threads.append(
+                        self._prewarm_thread)
                 while len(in_flight) > 3:
                     read_back(in_flight.pop(0))
             for entry in in_flight:
@@ -676,18 +737,19 @@ class BatchExecutor:
 
                 if sys.exc_info()[0] is None:    # don't mask a live error
                     raise RuntimeError("feeder thread failed to shut down")
-        if auto:
-            memo["decision"] = ("hi16" if upload_state["want"] == "hi16"
-                                else "full")
-            if upload_state["kernel0"] is not None:
-                memo["kernel0"] = upload_state["kernel0"]
+        if auto and upload_state["mkey"] is not None:
+            # memoized PER PROGRAM SHAPE (ADVICE r3: a later scan with a
+            # different batch width/M must not reuse a kernel time
+            # measured for a different amount of work)
+            memo[upload_state["mkey"]] = {
+                "kernel0": upload_state["kernel0"],
+                "decision": upload_state["want"],
+            }
         if metrics is not None:
             metrics.device_seconds += timer.lap()
             metrics.batches += nb
-            if upload_state["hi_rows"]:
-                metrics.upload_mode = upload_state.get("cut_used", "hi16")
-            elif upload_state["mode"] in ("hi32", "hi16"):
-                metrics.upload_mode = upload_state["mode"]
-            else:
-                metrics.upload_mode = "full"
+            metrics.upload_mode = (
+                upload_state.get("cut_used")
+                or (upload_state["mode"]
+                    if upload_state["mode"] != "full" else "full"))
         return [tuple(r) for r in results]

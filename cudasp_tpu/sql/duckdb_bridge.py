@@ -20,7 +20,10 @@ from __future__ import annotations
 import re
 from typing import List, Tuple
 
-import duckdb  # gated import: __init__.make_engine falls back when absent
+try:
+    import duckdb  # absent from the TPU image; CI installs it
+except ImportError:               # rewrite helpers stay importable/testable
+    duckdb = None
 
 from .engine import SQLError
 
@@ -78,6 +81,9 @@ class DuckDBEngine:
 
     def __init__(self, scan_fn=None, default_config=None,
                  connection=None):
+        if duckdb is None:
+            raise ImportError("the duckdb package is required for "
+                              "DuckDBEngine (pip install duckdb)")
         if scan_fn is None:
             from .. import api
 

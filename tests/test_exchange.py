@@ -170,7 +170,7 @@ def test_rebalanced_scan_interpret():
     flags, rhi, rlo = X.rebalanced_scan(
         mesh, tw, poh, pol, ovm, shi_d, slo_d, jnp.asarray(digits),
         jnp.asarray(sx), jnp.asarray(sy), jnp.asarray(lx), jnp.asarray(ly),
-        K.comb_table_f32(), nlabels=nl, block_rows=128,
+        K.comb_table_kernel(), nlabels=nl, block_rows=128,
         interpret=True)
     flags = np.asarray(flags)[0] != 0
     src_back = (np.asarray(rhi)[0].astype(np.int64) << 32) | (

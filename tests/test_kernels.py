@@ -220,8 +220,53 @@ def test_pallas_interpret_parity():
     flags = np.asarray(K._scan_pallas_call(
         *(jnp.asarray(a) for a in planes), jnp.asarray(digits),
         jnp.asarray(sx), jnp.asarray(sy), jnp.asarray(lx), jnp.asarray(ly),
-        K.comb_table_f32(), nlabels=nl, block_rows=128, interpret=True))
+        K.comb_table_kernel(), nlabels=nl, block_rows=128, interpret=True))
     assert np.array_equal(flags[0, :B] != 0, expect)
+
+
+@pytest.mark.skipif(jax.default_backend() == "tpu",
+                    reason="interpret parity is the CPU-side check")
+def test_pallas_full64_interpret_parity():
+    """wire='xy' (full64 upload, VERDICT r3 item 2): the kernel consumes
+    the uncompressed 64-B point and skips the sqrt decompress — golden
+    flags must match the compressed-wire path exactly."""
+    import jax.numpy as jnp
+    from cudasp_tpu.oracle import vectors as V
+    from cudasp_tpu.ops import kernels as K
+
+    case = V.CASES[0]
+    B = 128
+    (tweaks, oh, ol, ov, expect,
+     sx, sy, lx, ly, nl, digits) = _kernel_case_arrays(case, B)
+    planes = K.pack_batch_arrays(tweaks, np.ones(B, bool), oh, ol, ov, 128,
+                                 wire="xy")
+    assert planes[0].shape[0] == 16          # x words then y words
+    flags = np.asarray(K._scan_pallas_call(
+        *(jnp.asarray(a) for a in planes), jnp.asarray(digits),
+        jnp.asarray(sx), jnp.asarray(sy), jnp.asarray(lx), jnp.asarray(ly),
+        K.comb_table_kernel(), nlabels=nl, block_rows=128, interpret=True,
+        wire="xy"))
+    assert np.array_equal(flags[0, :B] != 0, expect)
+
+
+def test_pack_batch_arrays_full64_layout():
+    from cudasp_tpu.ops import kernels as K
+
+    rng = np.random.default_rng(3)
+    B, M = 5, 3
+    blobs = rng.integers(0, 256, (B, 64), np.uint8).astype(np.uint8)
+    oh = rng.integers(0, 2**31, (B, M)).astype(np.int32)
+    ol = rng.integers(0, 2**31, (B, M)).astype(np.int32)
+    ov = np.ones((B, M), bool)
+    tw, ohp, olp, ovm = K.pack_batch_arrays(
+        blobs, np.ones(B, bool), oh, ol, ov, 8, wire="xy")
+    assert tw.shape == (16, 8)
+    # words are the LE uint32 view of the full 64-byte blob
+    want = blobs.view(np.uint32).T
+    assert np.array_equal(tw[:, :B], want)
+    with pytest.raises(ValueError, match="full64"):
+        K.pack_batch_arrays(blobs, np.ones(B, bool), oh, ol, ov, 8,
+                            wire="xy", hi_only=True)
 
 
 @_SLOW
@@ -242,7 +287,7 @@ def test_pallas_sharded_interpret_parity():
     flags = np.asarray(K.scan_pallas_sharded(
         mesh, *(jnp.asarray(a) for a in planes), jnp.asarray(digits),
         jnp.asarray(sx), jnp.asarray(sy), jnp.asarray(lx), jnp.asarray(ly),
-        K.comb_table_f32(), nlabels=nl, block_rows=128, interpret=True))
+        K.comb_table_kernel(), nlabels=nl, block_rows=128, interpret=True))
     assert np.array_equal(flags[0, :B] != 0, expect)
 
 
@@ -278,14 +323,14 @@ def test_pallas_sharded_lane_split(monkeypatch):
             mesh, jnp.asarray(tw), jnp.asarray(oh), jnp.asarray(oh),
             jnp.asarray(ovm), jnp.asarray(digits), jnp.asarray(sx),
             jnp.asarray(sy), jnp.asarray(lx), jnp.asarray(ly),
-            K.comb_table_f32(), nlabels=1, block_rows=128))
+            K.comb_table_kernel(), nlabels=1, block_rows=128))
         assert np.array_equal(flags, (tw[:1] + ovm).astype(np.int32))
         with pytest.raises(ValueError):
             K.scan_pallas_sharded(
                 mesh, jnp.asarray(tw[:, :512]), jnp.asarray(oh[:, :512]),
                 jnp.asarray(oh[:, :512]), jnp.asarray(ovm[:, :512]),
                 jnp.asarray(digits), jnp.asarray(sx), jnp.asarray(sy),
-                jnp.asarray(lx), jnp.asarray(ly), K.comb_table_f32(),
+                jnp.asarray(lx), jnp.asarray(ly), K.comb_table_kernel(),
                 nlabels=1, block_rows=128)
     finally:
         K._sharded_scan_fn.cache_clear()
@@ -326,7 +371,7 @@ def test_pallas_sharded_hi16_dummy_specs(monkeypatch):
             mesh, *(jnp.asarray(a) for a in planes),
             jnp.asarray(np.zeros((2, 34), np.int32)), jnp.asarray(sx),
             jnp.asarray(sy), jnp.asarray(lx), jnp.asarray(ly),
-            K.comb_table_f32(), nlabels=0, block_rows=128,
+            K.comb_table_kernel(), nlabels=0, block_rows=128,
             hi_only="hi16", nout=M))
         # per-shard: packed plane lane-split, dummies replicated at (1, 1)
         assert seen["shapes"] == (

@@ -190,3 +190,76 @@ def test_parse_statement_roundtrip_shapes():
     src = s[2]
     assert src[0] == "scan"
     assert "batch_size" in src[3]
+
+
+# ---------------------------------------------------------------------------
+# Real-DuckDB bridge (VERDICT r3 item 5): when the duckdb package is
+# importable (CI installs it; absent from the TPU image), the SAME scaled
+# reference suite must pass through DuckDBEngine — all relational work in
+# actual DuckDB, cudasp_scan bridged through api.scan — with results
+# identical to the builtin engine's.
+# ---------------------------------------------------------------------------
+
+
+def _run_scaled_suite(engine):
+    from cudasp_tpu.sql import sqllogic
+
+    with open(REF_TEST) as f:
+        text = f.read()
+    records = sqllogic.parse_script(text)
+    queries = []
+    for rec in records:
+        if rec.kind == "require":
+            continue
+        sql = _scale_down(rec.sql)
+        if rec.kind == "statement":
+            engine.execute(sql)
+            continue
+        rows = engine.execute(sql) or []
+        got = [sqllogic._format_value(v) for row in rows for v in row]
+        queries.append((rec.line, got, _scale_expected(rec.expected)))
+    return queries
+
+
+def test_duckdb_bridge_reference_suite():
+    """The 13 reference queries through a real DuckDB connection."""
+    pytest.importorskip("duckdb")
+    from cudasp_tpu.sql.duckdb_bridge import DuckDBEngine
+
+    results = _run_scaled_suite(DuckDBEngine())
+    assert len(results) == 13
+    for line, got, expected in results:
+        assert got == expected, f"line {line}: {got} != {expected}"
+
+
+def test_duckdb_bridge_matches_builtin():
+    """Bridge vs builtin engine: identical rows on the scaled suite."""
+    pytest.importorskip("duckdb")
+    from cudasp_tpu.sql.duckdb_bridge import DuckDBEngine
+
+    duck = _run_scaled_suite(DuckDBEngine())
+    builtin = _run_scaled_suite(SQLEngine())
+    assert [(g, e) for _, g, e in duck] == [(g, e) for _, g, e in builtin]
+
+
+def test_duckdb_bridge_rewrite_helpers():
+    """Call-site rewriter unit coverage (no duckdb needed)."""
+    from cudasp_tpu.sql.duckdb_bridge import _find_calls, _split_args
+
+    sql = ("SELECT * FROM cudasp_scan((SELECT a FROM t), BLOB '\\x28', "
+           "f(x, y), [b, c], batch_size := 10) WHERE h = 1")
+    (s, e), = _find_calls(sql)
+    assert sql[s:].lower().startswith("cudasp_scan")
+    body = sql[sql.index("(", s) + 1:e - 1]
+    args = _split_args(body)
+    assert args[0] == "(SELECT a FROM t)"
+    assert args[2] == "f(x, y)"
+    assert args[3] == "[b, c]"
+    assert args[4] == "batch_size := 10"
+
+
+def test_duckdb_bridge_make_engine_picks_duckdb():
+    pytest.importorskip("duckdb")
+    from cudasp_tpu.sql.duckdb_bridge import DuckDBEngine
+
+    assert isinstance(make_engine("auto"), DuckDBEngine)

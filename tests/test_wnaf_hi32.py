@@ -79,7 +79,7 @@ def test_pallas_wnaf_hi32_interpret_parity():
         flags = np.asarray(K._scan_pallas_call(
             *(jnp.asarray(a) for a in planes), jnp.asarray(steps),
             jnp.asarray(sx), jnp.asarray(sy), jnp.asarray(lx),
-            jnp.asarray(ly), K.comb_table_f32(), nlabels=nl,
+            jnp.asarray(ly), K.comb_table_kernel(), nlabels=nl,
             block_rows=128, interpret=True, ladder="wnaf",
             hi_only=True))
         return flags[0, :B] != 0
@@ -189,7 +189,7 @@ def test_pallas_hi16_interpret_parity():
         flags = np.asarray(K._scan_pallas_call(
             *(jnp.asarray(a) for a in planes), jnp.asarray(digits),
             jnp.asarray(sx), jnp.asarray(sy), jnp.asarray(lx),
-            jnp.asarray(ly), K.comb_table_f32(), nlabels=nl,
+            jnp.asarray(ly), K.comb_table_kernel(), nlabels=nl,
             block_rows=128, interpret=True, ladder="fixed",
             hi_only="hi16", nout=M))
         return flags[0, :B] != 0

@@ -89,7 +89,7 @@ def main():
     digits = jnp.asarray(np.asarray(w.odd, np.int32))
     sxd, syd, lxd, lyd = (jnp.asarray(a) for a in K.pack_query_arrays(
         sx, sy, lx, ly, 512))
-    comb = K.comb_table_f32()
+    comb = K.comb_table_kernel()
 
     def run():
         return K._scan_pallas_call(*dev, digits, sxd, syd, lxd, lyd, comb,

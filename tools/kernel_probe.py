@@ -21,6 +21,8 @@ def main():
     ap.add_argument("--rows", type=int, default=262144)
     ap.add_argument("--labels", type=int, default=0)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--wire", default="x", choices=["x", "xy"],
+                    help="xy = full64 upload (kernel skips the sqrt)")
     args = ap.parse_args()
 
     from bench import make_dataset
@@ -46,16 +48,17 @@ def main():
                                       layout="kernel"))
     b = batches[0]
     planes = K.pack_batch_arrays(b.tweak_blobs, b.row_valid, b.outputs_hi,
-                                 b.outputs_lo, b.outputs_valid, br)
+                                 b.outputs_lo, b.outputs_valid, br,
+                                 wire=args.wire)
     sxq, syq, lxq, lyq = K.pack_query_arrays(sx, sy, lx, ly, br)
     dev = tuple(jnp.asarray(a) for a in planes)
     dq = tuple(jnp.asarray(a) for a in (sxq, syq, lxq, lyq))
     dd = jnp.asarray(np.asarray(digits, np.int32))
-    comb = K.comb_table_f32()
+    comb = K.comb_table_kernel()
 
     t0 = time.time()
     flags = K._scan_pallas_call(*dev, dd, *dq, comb, nlabels=nlabels,
-                                block_rows=br)
+                                block_rows=br, wire=args.wire)
     flags.block_until_ready()
     print(f"# compile+first: {time.time()-t0:.1f}s", file=sys.stderr)
 
@@ -69,7 +72,7 @@ def main():
     for _ in range(args.reps):
         t0 = time.perf_counter()
         flags = K._scan_pallas_call(*dev, dd, *dq, comb, nlabels=nlabels,
-                                    block_rows=br)
+                                    block_rows=br, wire=args.wire)
         np.asarray(flags)  # force real sync (block_until_ready lies on axon)
         best = min(best, time.perf_counter() - t0)
     n = dev[0].shape[1]

@@ -20,7 +20,18 @@ Run on CPU:
   JAX_PLATFORMS=cpu XLA_FLAGS="--xla_force_host_platform_device_count=8 \
     --xla_cpu_use_fusion_emitters=false" python tools/scaling_probe.py
 
-Prints one JSON line per configuration plus a summary efficiency table.
+  3. SERIAL-FRACTION attribution per mesh size (VERDICT r3 item 7): the
+     sharded step is re-timed WITHOUT its cross-shard reduction (flags
+     stay sharded; no collective) and a collective-only step (psum of a
+     tiny array) isolates dispatch+collective cost. serial_fraction =
+     (t_step - t_noreduce + t_tiny) / t_step is the share of the step the
+     framework adds on top of per-shard compute — the quantity that
+     bounds real multi-host efficiency (projected_eff ~ 1 -
+     serial_fraction) and that a shared-CPU virtual mesh CAN measure.
+
+Prints one JSON line per configuration plus a summary efficiency table,
+and writes the whole set to --out (default SCALING.json, committed as a
+round artifact).
 """
 
 import argparse
@@ -39,6 +50,9 @@ def main():
     ap.add_argument("--rows-per-device", type=int, default=8192)
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--mesh-sizes", type=int, nargs="*", default=None)
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SCALING.json"))
     args = ap.parse_args()
 
     import jax
@@ -56,7 +70,15 @@ def main():
     print(f"# devices: {navail} x {jax.devices()[0].platform}",
           file=sys.stderr)
 
+    artifact = {"device": jax.devices()[0].platform,
+                "n_devices_available": navail, "probes": []}
+
+    def emit(rec):
+        artifact["probes"].append(rec)
+        print(json.dumps(rec))
+
     results = []
+    serial = {}
     for ndev in sizes:
         mesh = make_mesh(ndev)
         sh = BatchShardings(mesh)
@@ -71,6 +93,7 @@ def main():
         ov = jax.device_put(ov, sh.row_major)
         w, sx, sy, lx, ly = (jax.device_put(x, sh.replicated)
                              for x in (w, sx, sy, lx, ly))
+        aa = (tx, ty, rv, oh, ol, ov, w, sx, sy, lx, ly)
 
         @jax.jit
         def step(tx, ty, rv, oh, ol, ov, w, sx, sy, lx, ly):
@@ -78,18 +101,48 @@ def main():
                                      w, sx, sy, lx, ly, nlabels=nlabels)
             return jnp.sum(flags)
 
-        np.asarray(step(tx, ty, rv, oh, ol, ov, w, sx, sy, lx, ly))  # warm
-        best = 1e9
-        for _ in range(args.reps):
-            t0 = time.perf_counter()
-            np.asarray(step(tx, ty, rv, oh, ol, ov, w, sx, sy, lx, ly))
-            best = min(best, time.perf_counter() - t0)
+        @jax.jit
+        def step_noreduce(tx, ty, rv, oh, ol, ov, w, sx, sy, lx, ly):
+            # flags stay lane-sharded: per-shard compute + dispatch, NO
+            # cross-shard collective
+            return scan_batch_fused(tx, ty, rv, oh, ol, ov,
+                                    w, sx, sy, lx, ly, nlabels=nlabels)
+
+        def timed(fn, sync):
+            sync(fn(*aa))                                  # warm
+            best = 1e9
+            for _ in range(args.reps):
+                t0 = time.perf_counter()
+                sync(fn(*aa))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        best = timed(step, np.asarray)
+        t_nored = timed(step_noreduce, jax.block_until_ready)
+        # collective-only floor: a psum of a tiny replicated array over
+        # the same mesh (pure dispatch + collective constant)
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        tiny = jax.device_put(np.ones((8,), np.float32),
+                              NamedSharding(mesh, PartitionSpec()))
+
+        @jax.jit
+        def tiny_step(v):
+            return jnp.sum(v) * 1.0
+
+        t_tiny = timed(lambda *_: tiny_step(tiny), np.asarray)
+        sfrac = max(0.0, (best - t_nored + t_tiny) / best)
+        serial[ndev] = sfrac
         results.append((ndev, B, best))
-        print(json.dumps({
+        emit({
             "probe": "weak_scaling_scan", "n_devices": ndev, "rows": B,
             "seconds": round(best, 4),
             "rows_per_s": round(B / best, 1),
-        }))
+            "seconds_no_reduce": round(t_nored, 4),
+            "seconds_dispatch_floor": round(t_tiny, 4),
+            "serial_fraction": round(sfrac, 4),
+            "projected_efficiency_bound": round(1.0 - sfrac, 4),
+        })
 
     # exchange (all_to_all + compaction) cost per batch at each mesh size
     for ndev in sizes:
@@ -117,18 +170,23 @@ def main():
             t0 = time.perf_counter()
             ex()
             best = min(best, time.perf_counter() - t0)
-        print(json.dumps({
+        emit({
             "probe": "exchange_rebalance", "n_devices": ndev, "rows": B,
             "seconds": round(best, 4),
             "rows_per_s": round(B / best, 1),
-        }))
+        })
 
     print("\n# weak-scaling efficiency (t1 / tN, per-device rows constant):",
           file=sys.stderr)
     for ndev, B, t in results:
         eff = results[0][2] / t
         print(f"#   {ndev} dev: {t*1e3:8.1f} ms  {B/t:12,.0f} rows/s  "
-              f"eff={eff:.2f}", file=sys.stderr)
+              f"eff={eff:.2f}  serial_frac={serial[ndev]:.3f}",
+              file=sys.stderr)
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(artifact, f, indent=1)
+        print(f"# wrote {args.out}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -209,7 +209,7 @@ def main():
     digits = jnp.asarray(np.asarray(w.odd, np.int32))
     sxd, syd, lxd, lyd = (jnp.asarray(x) for x in K.pack_query_arrays(
         sx, sy, lx, ly, bt))
-    combj = K.comb_table_f32()
+    combj = K.comb_table_kernel()
 
     def full():
         return K._scan_pallas_call(*dev, digits, sxd, syd, lxd, lyd, combj,
