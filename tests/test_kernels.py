@@ -302,7 +302,7 @@ def test_pallas_sharded_lane_split(monkeypatch):
 
     def stub(tw, oh, ol, ovm, digits, sx, sy, lx, ly, comb, blockmask=None,
              *, nlabels, block_rows, interpret=False, ladder="fixed",
-             hi_only=False, nout=None):
+             hi_only=False, nout=None, wire="x"):
         # flags = low word of the tweak plane + validity bit: proves the
         # shard saw its own lanes of both a wide and a (1, B) plane
         return (tw[:1] + ovm).astype(jnp.int32)
@@ -348,7 +348,7 @@ def test_pallas_sharded_hi16_dummy_specs(monkeypatch):
 
     def stub(tw, oh, ol, ovm, digits, sx, sy, lx, ly, comb, blockmask=None,
              *, nlabels, block_rows, interpret=False, ladder="fixed",
-             hi_only=False, nout=None):
+             hi_only=False, nout=None, wire="x"):
         seen["shapes"] = (tw.shape, oh.shape, ol.shape, ovm.shape)
         seen["mode"] = (hi_only, nout)
         return (oh[:1] & 0xFFFF).astype(jnp.int8)

@@ -125,7 +125,7 @@ def test_executor_hi32_reverify_exact(monkeypatch):
 
     def fake_kernel(tw, oh_p, ol_p, ovm, digits, sx, sy, lxq, lyq, comb,
                     bmask=None, *, nlabels, block_rows, interpret=False,
-                    ladder="fixed", hi_only=False, nout=None):
+                    ladder="fixed", hi_only=False, nout=None, wire="x"):
         calls["hi" if hi_only else "full"] += 1
         tw = np.asarray(tw)
         oh_p = np.asarray(oh_p)
@@ -231,7 +231,7 @@ def test_executor_auto_hi16_memo_and_reverify(monkeypatch):
 
     def fake_kernel(tw, oh_p, ol_p, ovm, digits, sx, sy, lxq, lyq, comb,
                     bmask=None, *, nlabels, block_rows, interpret=False,
-                    ladder="fixed", hi_only=False, nout=None):
+                    ladder="fixed", hi_only=False, nout=None, wire="x"):
         tw = np.asarray(tw)
         oh_p = np.asarray(oh_p)
         W = tw.shape[1]
@@ -266,10 +266,13 @@ def test_executor_auto_hi16_memo_and_reverify(monkeypatch):
     monkeypatch.setattr(K, "_scan_pallas_call", fake_kernel)
     # pretend this is a TPU process with a measured decision + warm kernel
     monkeypatch.setattr(E.jax, "default_backend", lambda: "tpu")
-    # kernel0=1e-9 keeps the per-batch upload-vs-kernel decision pinned at
-    # "cut" (any real upload time exceeds 1.15 * 1 ns)
-    monkeypatch.setattr(E.BatchExecutor, "_auto_memo",
-                        {"decision": "hi16", "kernel0": 1e-9})
+    # kernel0=1e-9 keeps the per-batch latency model pinned at the cut
+    # mode (any real upload time dwarfs a 1 ns kernel); the memo is keyed
+    # by program shape (ADVICE r3) — same tuple vkey() builds
+    monkeypatch.setattr(
+        E.BatchExecutor, "_auto_memo",
+        {(None, 0, 128, "fixed", 256, M, "kernel0"):
+         {"decision": "hi16", "kernel0": 1e-9}})
     monkeypatch.setattr(E.BatchExecutor, "_warm_keys", {
         (None, 0, 128, "fixed", 256, M, "hi16")})
 
