@@ -258,9 +258,16 @@ def kernel_only(tweaks, flat, offsets, args, n=524288, reps=3):
                K.pack_query_arrays(sx, sy, lx, ly, br))
     comb = K.comb_table_kernel()
 
+    from cudasp_tpu.runtime import aot
+
     def run():
-        f = K._scan_pallas_call(*dev, digits, *dq, comb, nlabels=nlabels,
-                                block_rows=br, ladder=ladder)
+        args = (*dev, digits, *dq, comb, None)
+        f = aot.maybe_call(args, nlabels=nlabels, block_rows=br,
+                           ladder=ladder)
+        if f is None:
+            f = K._scan_pallas_call(*dev, digits, *dq, comb,
+                                    nlabels=nlabels, block_rows=br,
+                                    ladder=ladder)
         np.asarray(f)      # force sync (block_until_ready lies on axon)
 
     run()                  # compile + warm

@@ -62,6 +62,19 @@ def ensure() -> None:
         return
     import jax
 
+    # Strip Python call-site locations from lowered modules. Without this
+    # the persistent cache key embeds the ENTRY SCRIPT's stack frames (the
+    # Pallas kernel payload carries full traceback locations), so
+    # logically-identical programs compiled from bench.py, a test, and a
+    # service process all get DIFFERENT keys and the cache never hits
+    # across tools — measured r4: 294 s warmups despite a warm cache;
+    # with locations stripped, cross-script hits verified (two distinct
+    # scripts, one key). Also shrinks the serialized modules.
+    try:
+        jax.config.update("jax_include_full_tracebacks_in_locations", False)
+        jax.config.update("jax_traceback_in_locations_limit", 0)
+    except Exception:                              # pragma: no cover
+        pass                                       # older jax: keys vary
     if jax.config.jax_compilation_cache_dir:       # user already chose one
         _copy_seed(jax.config.jax_compilation_cache_dir)
         return

@@ -298,9 +298,21 @@ class BatchExecutor:
                     comb, nlabels=nlabels, block_rows=br,
                     interpret=interpret, ladder=ladder)
             if mesh is None:
+                args = (*dev, digits, sx, sy, lx, ly, comb, bmask)
+                if not interpret:
+                    # AOT store (runtime/aot.py): a deserialized executable
+                    # skips the ~30 s trace+lower AND the XLA compile —
+                    # the reference's AOT-binary cold-start story
+                    from . import aot
+
+                    f = aot.maybe_call(args, nlabels=nlabels,
+                                       block_rows=br, ladder=ladder,
+                                       hi_only=hi_only, nout=nout,
+                                       wire=wire)
+                    if f is not None:
+                        return f
                 return K._scan_pallas_call(
-                    *dev, digits, sx, sy, lx, ly, comb, bmask,
-                    nlabels=nlabels, block_rows=br, ladder=ladder,
+                    *args, nlabels=nlabels, block_rows=br, ladder=ladder,
                     hi_only=hi_only, nout=nout, wire=wire)
             return K.scan_pallas_sharded(
                 mesh, *dev, digits, sx, sy, lx, ly, comb, bmask,

@@ -1,23 +1,26 @@
 #!/usr/bin/env python
-"""Build the shipped compile-cache seed (VERDICT r3 item 2/4).
+"""Build the shipped compile stores (VERDICT r3 items 2/4).
 
 The reference AOT-compiles its kernels into the extension binary
-(/root/reference/CMakeLists.txt:26-96); the TPU-native equivalent is a
-seed directory of XLA-serialized executables that installs with the
-package: runtime/compile_cache.ensure() links these into the live cache,
-so a cold process on a matching device+jaxlib reaches its first timed
-batch in seconds instead of the r3 bench's 294 s warmup.
+(/root/reference/CMakeLists.txt:26-96); this writes the TPU-native
+equivalents for every kernel variant the headline bench dispatches:
 
-This tool compiles every kernel variant the headline bench dispatches —
-into a FRESH cache dir so the seed contains exactly those entries — then
-copies them to cudasp_tpu/_cache/xla_seed/ (commit the result):
+  1. cudasp_tpu/_cache/aot/  — whole serialized executables
+     (jax.experimental.serialize_executable). Loading one skips BOTH the
+     ~30 s/variant Python trace+Mosaic lowering and the XLA compile; the
+     executor consults this store on every dispatch (runtime/aot.py).
+  2. cudasp_tpu/_cache/xla_seed/ — persistent-compile-cache entries
+     (fallback for call shapes the AOT store misses; cross-script key
+     stability requires the location-stripping flags compile_cache.ensure
+     now sets).
 
-    python tools/seed_cache.py            # ~10-20 min of compiles, once
+Run on the target device kind and commit the _cache additions:
 
-Variants covered (width 524800 = 524288-row batch at block_rows 640,
-M=3 outputs, 0 labels): full skip-free, full+skip (tail), hi16, full64,
-for both the executor scan and the kernel-only measurement (same jit
-signature).
+    python tools/seed_cache.py              # ~10 min of compiles, once
+
+Variants covered (width 524800 = 524288-row batch at the device-default
+block_rows, M=3 outputs, 0 labels): full skip-free, full+skip (tail),
+hi16, full64 — the set a headline bench.py run dispatches.
 """
 
 import os
@@ -34,37 +37,67 @@ def main():
     os.environ["CUDASP_COMPILE_CACHE"] = fresh
     import numpy as np
 
-    from cudasp_tpu import scan
-    from cudasp_tpu.api import ScanConfig
-    from cudasp_tpu.oracle import vectors as V
+    from cudasp_tpu.runtime import aot, tuning
     from cudasp_tpu.runtime.compile_cache import SEED_DIR, ensure
 
     ensure()
+    import jax
+    import jax.numpy as jnp
 
-    n = 524_289                   # forces the 524800-lane uniform width
-    rng = np.random.default_rng(1)
-    tweaks = rng.integers(0, 256, size=(n, 64), dtype=np.uint8)
-    flat = rng.integers(-2**62, 2**62, size=n * 3, dtype=np.int64)
-    offsets = np.arange(n + 1, dtype=np.int64) * 3
-    table = {"tweak_key": tweaks, "outputs": (flat, offsets)}
+    from cudasp_tpu.io import ingest
+    from cudasp_tpu.ops import kernels as K
+    from cudasp_tpu.ops import scalar as S
+    from cudasp_tpu.oracle import vectors as V
+    from cudasp_tpu.oracle.encoding import blob32_to_scalar
 
-    for upload in ("full", "hi16", "full64", "auto"):
+    br = tuning.block_rows_default()
+    w = ((524288 + br - 1) // br) * br
+    M = 3
+    print(f"# device: {jax.devices()[0].device_kind}  width={w} br={br}",
+          file=sys.stderr)
+
+    windows, sx, sy, lx, ly, nl = ingest.pack_query_keys(
+        V.SCAN_KEY_BIP352, V.SPEND_BIP352, [])
+    digits = jnp.asarray(np.asarray(
+        S.glv_odd_sched(blob32_to_scalar(V.SCAN_KEY_BIP352)), np.int32))
+    dq = tuple(jnp.asarray(a) for a in
+               K.pack_query_arrays(sx, sy, lx, ly, br))
+    comb = K.comb_table_kernel()
+
+    def z(shape):
+        return jnp.zeros(shape, jnp.uint32)
+
+    skipmask = np.ones(w // br, np.int32)
+    skipmask[-1] = 0
+    variants = [
+        ("full",   (z((8, w)), z((M, w)), z((M, w)), z((1, w))),
+         None, False, None, "x"),
+        ("skip",   (z((8, w)), z((M, w)), z((M, w)), z((1, w))),
+         jnp.asarray(skipmask), False, None, "x"),
+        ("hi16",   (z((8, w)), z(((M + 2) // 2, w)), z((1, 1)), z((1, 1))),
+         None, "hi16", M, "x"),
+        ("full64", (z((16, w)), z((M, w)), z((M, w)), z((1, w))),
+         None, False, None, "xy"),
+    ]
+    for name, dev, bmask, hi, nout, wire in variants:
+        args = (*dev, digits, *dq, comb, bmask)
         t0 = time.time()
-        try:
-            res = scan(table, V.SCAN_KEY_BIP352, V.SPEND_BIP352, (),
-                       config=ScanConfig(batch_size=524_288,
-                                         upload=upload))
-        except Exception as e:                         # noqa: BLE001
-            print(f"# upload={upload}: FAILED {type(e).__name__}: {e}",
-                  file=sys.stderr)
-            continue
-        print(f"# upload={upload}: {time.time()-t0:.1f}s "
-              f"({len(res)} matches)", file=sys.stderr)
+        lowered = K._scan_pallas_call.lower(
+            *args, nlabels=0, block_rows=br, ladder="fixed",
+            hi_only=hi, nout=nout, wire=wire)
+        t1 = time.time()
+        compiled = lowered.compile()
+        t2 = time.time()
+        dig = aot.signature(nlabels=0, block_rows=br, ladder="fixed",
+                            hi_only=hi, nout=nout, wire=wire,
+                            skip=bmask is not None,
+                            shapes=aot.arg_shapes(args))
+        path = aot.save(dig, compiled)
+        print(f"# {name:7s} lower {t1-t0:5.1f}s  compile {t2-t1:6.1f}s  "
+              f"-> {os.path.basename(path)} "
+              f"({os.path.getsize(path)/1e6:.1f} MB)", file=sys.stderr)
 
-    # background prewarm threads compile the remaining variants — wait
-    from cudasp_tpu.runtime.executor import BatchExecutor
-
-    BatchExecutor.join_prewarm()
+    # copy the persistent-cache entries written above into the seed dir
     os.makedirs(SEED_DIR, exist_ok=True)
     copied = 0
     for name in os.listdir(fresh):
@@ -72,11 +105,14 @@ def main():
         if not os.path.exists(dst):
             shutil.copy2(os.path.join(fresh, name), dst)
             copied += 1
-    total = sum(os.path.getsize(os.path.join(SEED_DIR, f))
-                for f in os.listdir(SEED_DIR))
-    print(f"seeded {copied} new entries -> {SEED_DIR} "
-          f"({total/1e6:.1f} MB total)")
-    print("commit cudasp_tpu/_cache/xla_seed/ to ship them")
+    aot_total = sum(os.path.getsize(os.path.join(aot.AOT_DIR, f))
+                    for f in os.listdir(aot.AOT_DIR))
+    seed_total = sum(os.path.getsize(os.path.join(SEED_DIR, f))
+                     for f in os.listdir(SEED_DIR))
+    print(f"aot store: {aot.available()} usable entries "
+          f"({aot_total/1e6:.1f} MB); xla seed: +{copied} entries "
+          f"({seed_total/1e6:.1f} MB total)")
+    print("commit cudasp_tpu/_cache/aot/ and cudasp_tpu/_cache/xla_seed/")
 
 
 if __name__ == "__main__":
