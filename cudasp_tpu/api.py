@@ -62,9 +62,11 @@ class ScanConfig:
     # "full" (60 B: 32-B x + parity bit, exact), "hi32" (48 B: hi-word
     # prefilter + exact re-verify of flagged rows), "hi16" (40 B:
     # top-16-bit match words packed two per uint32, same re-verify
-    # contract, ~2^-16 false-flag rate), or "auto" (measure the link vs
-    # the kernel per batch and pick the fastest mode, hysteresis +
-    # density veto; see runtime.executor).
+    # contract, ~2^-16 false-flag rate), "hi8" (36 B: top-8-bit words
+    # four per uint32, ~M*2^-8 false-flag rate, same contract; needs
+    # <= 6 outputs/row else degrades to hi16), or "auto" (measure the
+    # link vs the kernel per batch and pick the fastest mode,
+    # hysteresis + density veto; see runtime.executor).
     # CUDASP_UPLOAD fills the "auto" default only (an explicit value wins).
     upload: str = "auto"
 

@@ -411,6 +411,16 @@ def _scan_block(nlabels, nout, ladder, hi_only, wire, digits_ref,
                | (((ovm16 >> np.uint32(14)) & np.uint32(1))
                   << np.uint32(30))
                | ((ovm16 >> np.uint32(15)) << np.uint32(31)))
+    elif hi_only == "hi8":
+        # hi8: same folding one notch tighter — 8-bit units, validity unit
+        # = valid bits 0..M-1 | parity << 6 | row_valid << 7 (M <= 6).
+        u = nout
+        ovm8 = ((oh_ref[u // 4 : u // 4 + 1] >> np.uint32(8 * (u % 4)))
+                & np.uint32(0xFF))
+        ovm = ((ovm8 & np.uint32((1 << nout) - 1))
+               | (((ovm8 >> np.uint32(6)) & np.uint32(1))
+                  << np.uint32(30))
+               | ((ovm8 >> np.uint32(7)) << np.uint32(31)))
     else:
         ovm = ovm_ref[:]               # (1, BT) uint32 bitmask (see below)
     bx = _limbs_from_words(tw[:8])
@@ -619,12 +629,18 @@ def _scan_block(nlabels, nout, ladder, hi_only, wire, digits_ref,
     # hi_only="hi16": the upload shrinks further to the TOP 16 bits of
     # each match value, two per uint32 word (40 B/row at 3 outputs);
     # ~2^-16 false-flag rate, same exact-reverify contract.
+    # hi_only="hi8": TOP 8 bits, four per uint32 word (36 B/row at 3
+    # outputs); ~M*2^-8 false-flag rate per row, same contract.
     if hi_only == "hi16":
         # oh rows are packed pairs: word w = top16(out[2w]) |
         # top16(out[2w+1]) << 16 (kernels.pack_batch_arrays)
         oh = jnp.concatenate(
             [(oh[j // 2 : j // 2 + 1] >> np.uint32(16 * (j % 2)))
              & np.uint32(0xFFFF) for j in range(nout)], axis=0)
+    elif hi_only == "hi8":
+        oh = jnp.concatenate(
+            [(oh[j // 4 : j // 4 + 1] >> np.uint32(8 * (j % 4)))
+             & np.uint32(0xFF) for j in range(nout)], axis=0)
     ol = None if hi_only else ol_ref[:]
     # ovm bits: 0..M-1 = outputs_valid, 30 = y parity, 31 = row_valid
     ov = jnp.concatenate(
@@ -642,6 +658,7 @@ def _scan_block(nlabels, nout, ladder, hi_only, wire, digits_ref,
             words = _words_be_2d(x_can)
             dead = cinf | _is_zero2d(cz)
             w0 = (words[0:1] >> np.uint32(16) if hi_only == "hi16"
+                  else words[0:1] >> np.uint32(24) if hi_only == "hi8"
                   else words[0:1])
             eq = (w0 == oh) & ov
             if not hi_only:
@@ -747,7 +764,8 @@ def _sharded_scan_fn(mesh, nlabels, block_rows, interpret, skip=False,
     rep2 = P(None, None)
     rep3 = P(None, None, None)
     lo = rep2 if hi_only else lane      # hi_only ships a dummy lo
-    ovm = rep2 if hi_only == "hi16" else lane   # hi16: dummy ovm too
+    ovm = (rep2 if hi_only in ("hi16", "hi8")   # folded ovm: dummy too
+           else lane)
     specs = (lane, lane, lo, ovm, rep2, rep2, rep2, rep3, rep3, rep3)
     if skip:
         specs = specs + (P("data"),)
@@ -834,6 +852,12 @@ def pack_batch_arrays(tweak_blobs, row_valid, outputs_hi, outputs_lo,
     (40 B/row at 3 outputs; unit u lives at row u//2, shift 16*(u%2)).
     The kernel needs the real output count via its `nout` static arg in
     this mode; requires M <= 14.
+
+    hi_only="hi8" is the same folding one notch tighter: TOP 8 bits of
+    each match value, four units per uint32 row, validity unit = valid
+    bits 0..M-1 | parity << 6 | row_valid << 7 (36 B/row at 3 outputs;
+    unit u at row u//4, shift 8*(u%4)). ~M*2^-8 false-flag rate per row
+    feeds the same exact-reverify pass; requires M <= 6.
     """
     B = int(tweak_blobs.shape[0])
     M = int(outputs_hi.shape[1])
@@ -877,6 +901,21 @@ def pack_batch_arrays(tweak_blobs, row_valid, outputs_hi, outputs_lo,
         packed = np.zeros((Mp, B), np.uint32)
         for j, u in enumerate(units):
             packed[j // 2] |= u << np.uint32(16 * (j % 2))
+        return (padB(words), padB(packed),
+                np.zeros((1, 1), np.uint32), np.zeros((1, 1), np.uint32))
+    if hi_only == "hi8":
+        if M > 6:
+            raise ValueError("hi8 packing supports at most 6 outputs "
+                             "(the validity unit needs bits 6/7)")
+        units = list(oh >> np.uint32(24))                # M top-8 rows
+        units.append((ovm & np.uint32((1 << M) - 1))     # ovm8 unit
+                     | (((ovm >> np.uint32(30)) & np.uint32(1))
+                        << np.uint32(6))
+                     | ((ovm >> np.uint32(31)) << np.uint32(7)))
+        Mp = (len(units) + 3) // 4
+        packed = np.zeros((Mp, B), np.uint32)
+        for j, u in enumerate(units):
+            packed[j // 4] |= u << np.uint32(8 * (j % 4))
         return (padB(words), padB(packed),
                 np.zeros((1, 1), np.uint32), np.zeros((1, 1), np.uint32))
     lo = (np.zeros((M, 1), np.uint32) if hi_only else

@@ -36,6 +36,31 @@ _loaded: dict = {}            # digest -> callable (or None = load failed)
 _manifest_cache = None
 
 
+_src_digest_cache = None
+
+
+def _src_digest() -> str:
+    """Digest of the compute-path sources an executable was traced from.
+    A stored executable is a compiled artifact of ops/*.py at seed time;
+    without this tag, editing a kernel would let the store silently serve
+    the OLD code for unchanged call signatures (the reference's analog:
+    the extension binary is rebuilt whenever its .cu sources change)."""
+    global _src_digest_cache
+    if _src_digest_cache is None:
+        ops = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                           "ops")
+        h = hashlib.sha256()
+        for name in ("field.py", "curve.py", "scalar.py", "sha256.py",
+                     "kernels.py"):
+            try:
+                with open(os.path.join(ops, name), "rb") as f:
+                    h.update(f.read())
+            except OSError:                        # pragma: no cover
+                h.update(b"?")
+        _src_digest_cache = h.hexdigest()[:16]
+    return _src_digest_cache
+
+
 def _env_tag():
     import jax
 
@@ -43,7 +68,8 @@ def _env_tag():
         kind = jax.devices()[0].device_kind
     except Exception:                              # pragma: no cover
         kind = "unknown"
-    return {"device_kind": kind, "jaxlib": jax.__version__}
+    return {"device_kind": kind, "jaxlib": jax.__version__,
+            "src": _src_digest()}
 
 
 def signature(*, nlabels: int, block_rows: int, ladder: str, hi_only,

@@ -78,6 +78,7 @@ class BatchExecutor:
     # Live prewarm threads (class-wide), so cache-seeding tools and tests
     # can wait for background compiles to land before reading the cache.
     _prewarm_threads: list = []
+    _atexit_registered = False
 
     @classmethod
     def join_prewarm(cls, timeout: float = 600.0) -> None:
@@ -88,6 +89,19 @@ class BatchExecutor:
                                 deadline - __import__("time").monotonic()))
         cls._prewarm_threads = [t for t in cls._prewarm_threads
                                 if t.is_alive()]
+
+    @classmethod
+    def _register_atexit(cls) -> None:
+        """Join live prewarm threads at interpreter exit: a daemon thread
+        still inside an XLA compile when jax tears down aborts the process
+        (PyGILState_Release fatal — reproduced on the axon backend when a
+        short scan exits immediately). With the AOT store seeded the join
+        is near-instant; unseeded, waiting out the compile beats a crash."""
+        if not cls._atexit_registered:
+            cls._atexit_registered = True
+            import atexit
+
+            atexit.register(cls.join_prewarm)
 
     def __init__(self, mesh=None, fused: bool = False,
                  backend: str = "auto", block_rows: int = 640,
@@ -117,10 +131,11 @@ class BatchExecutor:
         self._ladder = {"auto": "fixed"}.get(ladder, ladder)
         # upload (B/row at 3 outputs): "full64" (92 B, uncompressed point,
         # kernel skips the sqrt decompress), "full" (60 B, exact), "hi32"
-        # (48 B prefilter + exact re-verify), "hi16" (40 B, same), or
-        # "auto" (model per batch: max(upload_time, kernel_time) per mode,
-        # measured link rate + memoized kernel time). Pallas path only;
-        # the rebalanced-exchange path always ships full planes.
+        # (48 B prefilter + exact re-verify), "hi16" (40 B, same), "hi8"
+        # (36 B, same), or "auto" (model per batch: max(upload_time,
+        # kernel_time) per mode, measured link rate + memoized kernel
+        # time). Pallas path only; the rebalanced-exchange path always
+        # ships full planes.
         self._upload = upload
 
     @property
@@ -227,8 +242,8 @@ class BatchExecutor:
         #   full64 (92 B/row @3 outputs, kernel skips the sqrt decompress
         #           — wins when the link outruns the kernel: PCIe hosts),
         #   full   (60 B/row, exact),
-        #   hi16/hi32 (40/48 B/row prefilter + exact reverify — wins when
-        #           the link is the bottleneck: the axon tunnel).
+        #   hi8/hi16/hi32 (36/40/48 B/row prefilter + exact reverify —
+        #           wins when the link is the bottleneck: the axon tunnel).
         # The rebalanced-exchange path always ships full.
         #
         # The flip NEVER compiles inside the scan (BENCH_r02's 222 s first
@@ -240,7 +255,7 @@ class BatchExecutor:
         memo = BatchExecutor._auto_memo
         upload_state = {
             "mode": (self._upload
-                     if self._upload in ("hi32", "hi16", "full64")
+                     if self._upload in ("hi32", "hi16", "hi8", "full64")
                      and not rebalance
                      else "full"),    # explicit modes apply immediately
             "want": None,             # auto's measured preference
@@ -250,7 +265,7 @@ class BatchExecutor:
             "veto": False,            # density veto: cuts off, sticky
             "hi_rows": 0,             # cut-mode rows (density feedback)
             "flagged": 0,             # ...of which needed the exact pass
-            "M": None, "width": None, "cut_tag": "hi16",
+            "M": None, "width": None, "cut_tag": "hi8",
         }
         # measured on this v5e by tools/ablate_probe.py (r4): the sqrt
         # decompress the full64 wire removes is 7.1% of the fused kernel
@@ -273,7 +288,8 @@ class BatchExecutor:
             w, M = upload_state["width"], upload_state["M"]
             cut = upload_state["cut_tag"]
             cut_rows = (8 + M + 1 if cut == "hi32"
-                        else 8 + (M + 2) // 2)
+                        else 8 + (M + 2) // 2 if cut == "hi16"
+                        else 8 + (M + 4) // 4)
             cand = {
                 "full64": max(4 * w * (16 + 2 * M + 1) / rate,
                               k0 * (1.0 - SQRT_SHARE)),
@@ -343,13 +359,21 @@ class BatchExecutor:
             """Identity of one compiled kernel variant (jit-signature-ish)."""
             return (mesh, nlabels, br, ladder, int(width), int(M), tag)
 
-        def cut_tag_for(M, want="hi16"):
+        def cut_tag_for(M, want="hi8"):
             """The upload-cut variant actually usable at this outputs
-            width: hi16 wanted (auto or explicit) downgrades to hi32 when
-            M > 14 — the packed validity unit needs bits 14/15, so hi16
-            tops out at 14 outputs per row. An explicit upload="hi16"
-            therefore degrades gracefully instead of raising mid-scan
-            inside the feeder (ADVICE r3)."""
+            width: the packed validity unit caps hi8 at 6 outputs/row
+            (needs bits 6/7) and hi16 at 14 (bits 14/15), so a wanted cut
+            degrades one notch at a time — hi8 -> hi16 -> hi32. An
+            explicit cut mode therefore degrades gracefully (with a
+            warning) instead of raising mid-scan inside the feeder
+            (ADVICE r3)."""
+            if want == "hi8" and M > 6:
+                import warnings
+
+                warnings.warn(
+                    f"hi8 upload supports at most 6 outputs/row "
+                    f"(got {M}); using hi16", stacklevel=2)
+                want = "hi16"
             if want == "hi16" and M > 14:
                 import warnings
 
@@ -366,7 +390,7 @@ class BatchExecutor:
             pad_width: widen the planes to this lane count with DEVICE-side
             zeros after the transfer (reverify reuses the scan's compiled
             width without shipping the padding over the link)."""
-            if hi_only == "hi16":
+            if hi_only in ("hi16", "hi8"):
                 wide = [planes[0], planes[1]]
             elif hi_only:
                 wide = [planes[0], planes[1], planes[3]]
@@ -394,7 +418,7 @@ class BatchExecutor:
                         mesh, PartitionSpec(None, None)))
                 return z
 
-            if hi_only == "hi16":
+            if hi_only in ("hi16", "hi8"):
                 return (parts[0], parts[1], zrep(planes[2].shape),
                         zrep(planes[3].shape))
             return (parts[0], parts[1], zrep(planes[2].shape), parts[2])
@@ -424,7 +448,8 @@ class BatchExecutor:
                     return jax.device_put(z, sh)
 
                 variants = []
-                if upload_state["mode"] in ("hi32", "hi16", "full64"):
+                if upload_state["mode"] in ("hi32", "hi16", "hi8",
+                                            "full64"):
                     m0 = upload_state["mode"]
                     variants.append(m0 if m0 == "full64"
                                     else cut_tag_for(M, m0))
@@ -440,10 +465,11 @@ class BatchExecutor:
                     if stop.is_set():
                         return
                     hi_val = (True if tag == "hi32" else
-                              "hi16" if tag == "hi16" else False)
+                              tag if tag in ("hi16", "hi8") else False)
                     wire = "xy" if tag == "full64" else "x"
-                    if tag == "hi16":     # packed units + dummy lo/ovm
-                        dev = (zdev((8, width)), zdev(((M + 2) // 2, width)),
+                    if tag in ("hi16", "hi8"):  # packed units, dummy lo/ovm
+                        Mp = (M + 2) // 2 if tag == "hi16" else (M + 4) // 4
+                        dev = (zdev((8, width)), zdev((Mp, width)),
                                zdev((1, 1)), zdev((1, 1)))
                     else:
                         tw_rows = 16 if tag == "full64" else 8
@@ -460,7 +486,8 @@ class BatchExecutor:
                                 mesh, PartitionSpec("data")))
                     jax.block_until_ready(dispatch(
                         dev, bmask, hi_only=hi_val,
-                        nout=M if tag == "hi16" else None, wire=wire))
+                        nout=M if tag in ("hi16", "hi8") else None,
+                        wire=wire))
                     BatchExecutor._warm_keys.add(
                         vkey(width, M, tag if tag else "skip"))
             except Exception:                         # pragma: no cover
@@ -484,8 +511,8 @@ class BatchExecutor:
                     M_b = b.outputs_hi.shape[1]
                     cut_tag = cut_tag_for(
                         M_b, upload_state["mode"]
-                        if upload_state["mode"] in ("hi32", "hi16")
-                        else "hi16")
+                        if upload_state["mode"] in ("hi32", "hi16", "hi8")
+                        else "hi8")
                     if i == 0:
                         # publish batch-0 shape facts for _decide and the
                         # memoized kernel measurement; a prior scan's
@@ -508,16 +535,23 @@ class BatchExecutor:
                     # compiled (the process-wide _warm_keys registry)
                     target = upload_state["mode"]
                     if target == "full" and auto and upload_state["want"]:
+                        # a memoized cut decision resolves to the cut tag
+                        # usable at THIS M before the warm-registry check
+                        # (a stale "hi16" memo must not dispatch an
+                        # un-warmed hi8 program, or vice versa)
                         w_tag = upload_state["want"]
+                        if w_tag in ("hi32", "hi16", "hi8"):
+                            w_tag = cut_tag
                         if vkey(width, M_b, w_tag) in \
                                 BatchExecutor._warm_keys:
                             target = w_tag
-                    if target in ("hi32", "hi16"):
+                    if target in ("hi32", "hi16", "hi8"):
                         target = cut_tag
                     if will_skip:
                         target = "full"
                     hi_only = (True if target == "hi32" else
-                               "hi16" if target == "hi16" else False)
+                               target if target in ("hi16", "hi8")
+                               else False)
                     wire = "xy" if target == "full64" else "x"
                     if target != "full":
                         upload_state["cut_used"] = target
@@ -626,7 +660,7 @@ class BatchExecutor:
                         and upload_state["flagged"]
                         > 0.05 * upload_state["hi_rows"]):
                     upload_state["veto"] = True
-                    if upload_state["want"] in ("hi16", "hi32"):
+                    if upload_state["want"] in ("hi8", "hi16", "hi32"):
                         upload_state["want"] = None
                     _decide()
                 return
@@ -696,7 +730,8 @@ class BatchExecutor:
                     flags = dispatch(
                         dev, bmask, hi_only=hi_val,
                         nout=(payload.outputs_hi.shape[1]
-                              if hi_val == "hi16" else None), wire=wire)
+                              if hi_val in ("hi16", "hi8") else None),
+                        wire=wire)
                 except Exception as e:                  # noqa: BLE001
                     raise ExecutionError(i, e) from e
                 in_flight.append((n, flags, srcs, payload))
@@ -725,6 +760,7 @@ class BatchExecutor:
                         target=prewarm,
                         args=(dev[0].shape[1], M_real),
                         daemon=True)
+                    BatchExecutor._register_atexit()
                     self._prewarm_thread.start()
                     BatchExecutor._prewarm_threads.append(
                         self._prewarm_thread)

@@ -30,9 +30,9 @@ class ScanMetrics:
     upload_seconds: float = 0.0
     upload_bytes: int = 0
     device_wait_seconds: float = 0.0
-    # hi32 upload cut (executor upload="hi32"/"auto"): rows whose hi32
-    # prefilter flag needed the exact second pass, and the mode the scan
-    # settled on ("full" / "hi32")
+    # upload cuts (executor upload="hi32"/"hi16"/"hi8"/"auto"): rows
+    # whose prefilter flag needed the exact second pass, and the mode the
+    # scan settled on ("full" / "full64" / "hi32" / "hi16" / "hi8")
     reverified_rows: int = 0
     upload_mode: str = ""
 

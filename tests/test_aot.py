@@ -48,6 +48,23 @@ def test_lookup_unknown_and_wrong_env(tmp_path, monkeypatch):
     assert aot.available() == 0
 
 
+def test_lookup_rejects_stale_source_digest(tmp_path, monkeypatch):
+    """An entry seeded from OLD kernel sources must never load: editing
+    ops/*.py would otherwise let the store silently serve stale code for
+    unchanged call signatures."""
+    monkeypatch.setattr(aot, "AOT_DIR", str(tmp_path))
+    monkeypatch.setattr(aot, "_manifest_cache", None)
+    monkeypatch.setattr(aot, "_loaded", {})
+    ent = dict(aot._env_tag())
+    assert len(ent.get("src", "")) == 16      # digest present + stable
+    ent["src"] = "0" * 16                     # seeded from other sources
+    with open(os.path.join(str(tmp_path), "manifest.json"), "w") as f:
+        json.dump({"abc": ent}, f)
+    monkeypatch.setattr(aot, "_manifest_cache", None)
+    assert aot.lookup("abc") is None
+    assert aot.available() == 0
+
+
 def test_maybe_call_falls_back(monkeypatch):
     monkeypatch.setattr(aot, "_loaded", {})
     monkeypatch.setattr(aot, "_manifest_cache", {})

@@ -336,8 +336,9 @@ def test_pallas_sharded_lane_split(monkeypatch):
         K._sharded_scan_fn.cache_clear()
 
 
-def test_pallas_sharded_hi16_dummy_specs(monkeypatch):
-    """hi16 over a mesh: the packed plane lane-shards while the (1, 1)
+@pytest.mark.parametrize("cut,punits", [("hi16", 2), ("hi8", 4)])
+def test_pallas_sharded_folded_cut_dummy_specs(monkeypatch, cut, punits):
+    """hi16/hi8 over a mesh: the packed plane lane-shards while the (1, 1)
     lo/ovm dummies replicate (the pre-r3 lane specs would reject a width-1
     plane on an 8-way mesh). Stubbed kernel; validates spec plumbing."""
     import jax.numpy as jnp
@@ -364,7 +365,7 @@ def test_pallas_sharded_hi16_dummy_specs(monkeypatch):
         ol = rng.integers(0, 2**31, (B, M)).astype(np.int32)
         ov = np.ones((B, M), bool)
         planes = K.pack_batch_arrays(tweaks, np.ones(B, bool), oh, ol, ov,
-                                     B, hi_only="hi16")
+                                     B, hi_only=cut)
         sx = sy = np.zeros((F.NLIMBS, 1), np.int32)
         lx = ly = np.zeros((1, F.NLIMBS, 1), np.int32)
         flags = np.asarray(K.scan_pallas_sharded(
@@ -372,11 +373,11 @@ def test_pallas_sharded_hi16_dummy_specs(monkeypatch):
             jnp.asarray(np.zeros((2, 34), np.int32)), jnp.asarray(sx),
             jnp.asarray(sy), jnp.asarray(lx), jnp.asarray(ly),
             K.comb_table_kernel(), nlabels=0, block_rows=128,
-            hi_only="hi16", nout=M))
+            hi_only=cut, nout=M))
         # per-shard: packed plane lane-split, dummies replicated at (1, 1)
         assert seen["shapes"] == (
-            (8, B // 8), ((M + 2) // 2, B // 8), (1, 1), (1, 1))
-        assert seen["mode"] == ("hi16", M)
+            (8, B // 8), ((M + punits) // punits, B // 8), (1, 1), (1, 1))
+        assert seen["mode"] == (cut, M)
         assert np.array_equal(
             flags[0], (planes[1][0] & 0xFFFF).astype(np.int8))
     finally:

@@ -61,11 +61,12 @@ def test_reference_scale_no_match_wrong_key():
 
 
 @_TPU
-@pytest.mark.parametrize("upload", ["full", "full64", "hi32", "hi16"])
+@pytest.mark.parametrize("upload", ["full", "full64", "hi32", "hi16",
+                                    "hi8"])
 def test_reference_scale_upload_modes(upload):
     """Every upload wire/cut mode end-to-end on the real chip (VERDICT r3
     item 8): golden matches must be identical across modes — full64 skips
-    the device sqrt, hi32/hi16 prefilter + exact-reverify."""
+    the device sqrt, hi32/hi16/hi8 prefilter + exact-reverify."""
     from cudasp_tpu import scan
     from cudasp_tpu.api import ScanConfig
 
@@ -78,7 +79,7 @@ def test_reference_scale_upload_modes(upload):
     res = scan(table, case.scan_key_blob, case.spend_blob,
                config=ScanConfig(batch_size=2_048, upload=upload))
     assert np.array_equal(res.indices, np.arange(rows // 2))
-    if upload in ("hi32", "hi16") and res.metrics is not None:
+    if upload in ("hi32", "hi16", "hi8") and res.metrics is not None:
         # the prefilter really ran (cut mode reported, rows reverified)
         assert res.metrics.upload_mode == upload
         assert res.metrics.reverified_rows >= rows // 2
@@ -108,3 +109,29 @@ def test_reference_scale_hi16_wide_outputs_fallback():
     assert np.array_equal(res.indices, np.arange(rows))
     assert any("hi32" in str(w.message) for w in rec)
     assert res.metrics.upload_mode == "hi32"
+
+
+@_TPU
+def test_reference_scale_hi8_wide_outputs_fallback():
+    """Explicit hi8 with M > 6 outputs degrades to hi16 (warning), not a
+    mid-scan ExecutionError — the same graceful chain as hi16 -> hi32."""
+    import warnings
+
+    from cudasp_tpu import scan
+    from cudasp_tpu.api import ScanConfig
+
+    rows = 2_000
+    r = V.CASES[0].rows[0]
+    per = list(r.outputs) + list(range(1, 7))        # 9 outputs/row
+    tweaks = np.tile(np.frombuffer(r.tweak_blob, np.uint8), (rows, 1))
+    flat = np.tile(np.asarray(per, np.int64), rows)
+    offsets = np.arange(rows + 1, dtype=np.int64) * len(per)
+    table = {"tweak_key": tweaks, "outputs": (flat, offsets)}
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        res = scan(table, V.CASES[0].scan_key_blob, V.CASES[0].spend_blob,
+                   config=ScanConfig(batch_size=1_024, upload="hi8",
+                                     max_outputs=9))
+    assert np.array_equal(res.indices, np.arange(rows))
+    assert any("hi16" in str(w.message) for w in rec)
+    assert res.metrics.upload_mode == "hi16"

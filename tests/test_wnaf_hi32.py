@@ -201,11 +201,83 @@ def test_pallas_hi16_interpret_parity():
     assert np.array_equal(run(oh_bad, ol_bad), expect)        # superset
 
 
-def test_executor_auto_hi16_memo_and_reverify(monkeypatch):
-    """upload='auto' with a process-memoized 'hi16' decision and a warm
-    variant registry must ship hi16 from batch 0 (no measurement, no
-    waiting on prewarm), match on top-16 bits via the packed plane, and
-    prune sub-top16 collisions in the exact pass."""
+@pytest.mark.skipif(jax.default_backend() == "tpu",
+                    reason="interpret parity is the CPU-side check")
+def test_pallas_hi8_interpret_parity():
+    """hi8 upload cut (36 B/row): golden parity on the label case AND the
+    superset property — rows whose match value is corrupted anywhere BELOW
+    the top 8 bits still flag (the exact pass is the executor's job)."""
+    import jax.numpy as jnp
+    from cudasp_tpu.oracle import vectors as V
+    from cudasp_tpu.ops import kernels as K
+    from tests.test_kernels import _kernel_case_arrays
+
+    case = V.CASES[3]
+    B = 128
+    (tweaks, oh, ol, ov, expect,
+     sx, sy, lx, ly, nl, digits) = _kernel_case_arrays(case, B, M=4)
+    M = oh.shape[1]
+
+    def run(oh_, ol_):
+        planes = K.pack_batch_arrays(tweaks, np.ones(B, bool), oh_, ol_,
+                                     ov, 128, hi_only="hi8")
+        assert planes[1].shape[0] == (M + 4) // 4     # M + ovm8 units
+        assert planes[2].shape == planes[3].shape == (1, 1)   # dummies
+        flags = np.asarray(K._scan_pallas_call(
+            *(jnp.asarray(a) for a in planes), jnp.asarray(digits),
+            jnp.asarray(sx), jnp.asarray(sy), jnp.asarray(lx),
+            jnp.asarray(ly), K.comb_table_kernel(), nlabels=nl,
+            block_rows=128, interpret=True, ladder="fixed",
+            hi_only="hi8", nout=M))
+        return flags[0, :B] != 0
+
+    assert np.array_equal(run(oh, ol), expect)                # parity
+    # corrupt below the top 8 bits: lo word entirely + low 24 of hi
+    oh_bad = oh ^ np.where(ov, 0x5A5A5A, 0).astype(np.int32)
+    ol_bad = ol ^ np.where(ov, -1, 0).astype(np.int32)
+    assert np.array_equal(run(oh_bad, ol_bad), expect)        # superset
+
+
+def test_pack_batch_arrays_hi8_units():
+    """Host-side hi8 packing: unit u lives at row u//4, shift 8*(u%4);
+    the validity unit folds valid bits | parity << 6 | row_valid << 7;
+    M > 6 raises (the executor degrades to hi16 before packing)."""
+    from cudasp_tpu.ops import kernels as K
+
+    B, M = 5, 3
+    rng = np.random.default_rng(11)
+    tweaks = rng.integers(0, 256, (B, 64), dtype=np.uint8)
+    oh = rng.integers(-2**31, 2**31, (B, M), dtype=np.int64).astype(
+        np.int32)
+    ol = rng.integers(-2**31, 2**31, (B, M), dtype=np.int64).astype(
+        np.int32)
+    ov = np.array([[1, 1, 1], [1, 0, 0], [0, 0, 0], [1, 1, 0],
+                   [1, 1, 1]], bool)
+    rv = np.array([1, 1, 1, 0, 1], bool)
+    words, packed, lo, ovm = K.pack_batch_arrays(
+        tweaks, rv, oh, ol, ov, 8, hi_only="hi8")
+    assert packed.shape == (1, 8) and lo.shape == ovm.shape == (1, 1)
+    for r in range(B):
+        for j in range(M):
+            got = (int(packed[0, r]) >> (8 * j)) & 0xFF
+            assert got == (int(np.uint32(oh[r, j])) >> 24)
+        unit = (int(packed[0, r]) >> 24) & 0xFF
+        assert unit & 0x3F == sum(int(ov[r, j]) << j for j in range(M))
+        assert (unit >> 6) & 1 == (tweaks[r, 32] & 1)       # y parity
+        assert (unit >> 7) & 1 == int(rv[r])
+    with pytest.raises(ValueError, match="hi8"):
+        K.pack_batch_arrays(tweaks, rv, np.zeros((B, 7), np.int32),
+                            np.zeros((B, 7), np.int32),
+                            np.ones((B, 7), bool), 8, hi_only="hi8")
+
+
+def test_executor_auto_hi8_memo_and_reverify(monkeypatch):
+    """upload='auto' with a process-memoized cut decision and a warm
+    variant registry must ship the cut from batch 0 (no measurement, no
+    waiting on prewarm), match on top-8 bits via the packed plane, and
+    prune sub-top8 collisions in the exact pass. The memo carries a stale
+    'hi16' decision on purpose: the feeder must resolve it to the cut tag
+    usable at this M (hi8) before the warm-registry check."""
     import jax.numpy as jnp
     from cudasp_tpu.ops import kernels as K
     from cudasp_tpu.runtime import executor as E
@@ -214,7 +286,7 @@ def test_executor_auto_hi16_memo_and_reverify(monkeypatch):
     rng = np.random.default_rng(5)
     up = rng.integers(1, 2**62, B).astype(np.int64)       # uploaded values
     true_rows = {0, 123, 699}
-    coll_rows = {7, 300, 512}      # agree in top16 only
+    coll_rows = {7, 300, 512}      # agree in top8 only
     comp = {}
     tweaks = np.zeros((B, 64), np.uint8)
     ids = np.arange(1, B + 1, dtype=np.uint32)
@@ -224,10 +296,10 @@ def test_executor_auto_hi16_memo_and_reverify(monkeypatch):
         if r in true_rows:
             comp[int(ids[r])] = v
         elif r in coll_rows:
-            comp[int(ids[r])] = v ^ 1                     # top16 equal
+            comp[int(ids[r])] = v ^ 1                     # top8 equal
         else:
-            comp[int(ids[r])] = v ^ (1 << 50)             # top16 differs
-    calls = {"hi16": 0, "full": 0}
+            comp[int(ids[r])] = v ^ (1 << 58)             # top8 differs
+    calls = {"hi8": 0, "full": 0}
 
     def fake_kernel(tw, oh_p, ol_p, ovm, digits, sx, sy, lxq, lyq, comb,
                     bmask=None, *, nlabels, block_rows, interpret=False,
@@ -236,18 +308,18 @@ def test_executor_auto_hi16_memo_and_reverify(monkeypatch):
         oh_p = np.asarray(oh_p)
         W = tw.shape[1]
         f = np.zeros((1, W), np.int8)
-        if hi_only == "hi16":
-            calls["hi16"] += 1
-            assert nout == M and oh_p.shape[0] == (M + 2) // 2
+        if hi_only == "hi8":
+            calls["hi8"] += 1
+            assert nout == M and oh_p.shape[0] == (M + 4) // 4
             assert np.asarray(ovm).shape == (1, 1)        # folded away
             for j in range(W):
                 rid = int(tw[0, j])
-                unit0 = int(oh_p[0, j]) & 0xFFFF          # top16(out0)
-                ovm16 = (int(oh_p[0, j]) >> 16) & 0xFFFF  # validity unit
-                if rid == 0 or not (ovm16 >> 15) & 1 or not ovm16 & 1:
+                unit0 = int(oh_p[0, j]) & 0xFF            # top8(out0)
+                ovm8 = (int(oh_p[0, j]) >> 8) & 0xFF      # validity unit
+                if rid == 0 or not (ovm8 >> 7) & 1 or not ovm8 & 1:
                     continue
-                top16 = (comp[rid] >> 48) & 0xFFFF
-                f[0, j] = int(top16 == unit0)
+                top8 = (comp[rid] >> 56) & 0xFF
+                f[0, j] = int(top8 == unit0)
         else:
             assert hi_only is False
             calls["full"] += 1
@@ -274,7 +346,7 @@ def test_executor_auto_hi16_memo_and_reverify(monkeypatch):
         {(None, 0, 128, "fixed", 256, M, "kernel0"):
          {"decision": "hi16", "kernel0": 1e-9}})
     monkeypatch.setattr(E.BatchExecutor, "_warm_keys", {
-        (None, 0, 128, "fixed", 256, M, "hi16")})
+        (None, 0, 128, "fixed", 256, M, "hi8")})
 
     outputs = [[int(up[r])] for r in range(B)]
     flat, offsets = ingest.outputs_to_csr(outputs)
@@ -288,7 +360,7 @@ def test_executor_auto_hi16_memo_and_reverify(monkeypatch):
                                for fl, srcs in results])
                if results else np.zeros(0, np.int64))
     assert set(matched.tolist()) == true_rows
-    assert calls["hi16"] >= 3      # every main batch shipped hi16
+    assert calls["hi8"] >= 3       # every main batch shipped hi8
     assert calls["full"] >= 1      # the exact pass ran
     th = getattr(ex, "_prewarm_thread", None)
     if th is not None:             # don't tear down jax under the thread

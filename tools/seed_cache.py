@@ -20,7 +20,7 @@ Run on the target device kind and commit the _cache additions:
 
 Variants covered (width 524800 = 524288-row batch at the device-default
 block_rows, M=3 outputs, 0 labels): full skip-free, full+skip (tail),
-hi16, full64 — the set a headline bench.py run dispatches.
+hi16, hi8, full64 — the set a headline bench.py run dispatches.
 """
 
 import os
@@ -76,6 +76,8 @@ def main():
          jnp.asarray(skipmask), False, None, "x"),
         ("hi16",   (z((8, w)), z(((M + 2) // 2, w)), z((1, 1)), z((1, 1))),
          None, "hi16", M, "x"),
+        ("hi8",    (z((8, w)), z(((M + 4) // 4, w)), z((1, 1)), z((1, 1))),
+         None, "hi8", M, "x"),
         ("full64", (z((16, w)), z((M, w)), z((M, w)), z((1, w))),
          None, False, None, "xy"),
     ]
