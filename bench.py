@@ -199,9 +199,13 @@ def main():
         print(f"# WARNING: run-to-run spread {spread:.1f}x > 1.3x "
               f"(times: {[round(t, 2) for t in times]})", file=sys.stderr)
 
-    kernel_rows_per_s = None
+    kernel_rows_per_s = kernel_full64 = None
     if not args.no_kernel_only and jax.default_backend() != "cpu":
         kernel_rows_per_s = kernel_only(tweaks, flat, offsets, args)
+        # the full64 wire skips the sqrt decompress — the engine's best
+        # device-resident number (what e2e converges to on fast links)
+        kernel_full64 = kernel_only(tweaks, flat, offsets, args,
+                                    wire="xy")
 
     txs = args.rows / best
     out = {
@@ -221,11 +225,13 @@ def main():
     }
     if kernel_rows_per_s:
         out["kernel_rows_per_s"] = round(kernel_rows_per_s, 1)
+    if kernel_full64:
+        out["kernel_rows_per_s_full64"] = round(kernel_full64, 1)
     print(json.dumps(out))
     return 0
 
 
-def kernel_only(tweaks, flat, offsets, args, n=524288, reps=3):
+def kernel_only(tweaks, flat, offsets, args, n=524288, reps=3, wire="x"):
     """Device-resident kernel throughput (no host pack / H2D in the timed
     region): the number end-to-end converges to when the upload path is
     not the bottleneck. Reuses the first n rows of the bench dataset.
@@ -247,7 +253,8 @@ def kernel_only(tweaks, flat, offsets, args, n=524288, reps=3):
         tweaks[:n], flat[: offsets[n]], offsets[: n + 1], batch_size=n,
         max_outputs=3, layout="kernel")))
     planes = K.pack_batch_arrays(b.tweak_blobs, b.row_valid, b.outputs_hi,
-                                 b.outputs_lo, b.outputs_valid, br)
+                                 b.outputs_lo, b.outputs_valid, br,
+                                 wire=wire)
     windows, sx, sy, lx, ly, nlabels = ingest.pack_query_keys(
         V.SCAN_KEY_BIP352, V.SPEND_BIP352, [V.LABEL2] * args.labels)
     k = blob32_to_scalar(V.SCAN_KEY_BIP352)
@@ -263,11 +270,11 @@ def kernel_only(tweaks, flat, offsets, args, n=524288, reps=3):
     def run():
         args = (*dev, digits, *dq, comb, None)
         f = aot.maybe_call(args, nlabels=nlabels, block_rows=br,
-                           ladder=ladder)
+                           ladder=ladder, wire=wire)
         if f is None:
             f = K._scan_pallas_call(*dev, digits, *dq, comb,
                                     nlabels=nlabels, block_rows=br,
-                                    ladder=ladder)
+                                    ladder=ladder, wire=wire)
         np.asarray(f)      # force sync (block_until_ready lies on axon)
 
     run()                  # compile + warm
@@ -276,7 +283,8 @@ def kernel_only(tweaks, flat, offsets, args, n=524288, reps=3):
         t0 = time.perf_counter()
         run()
         best = min(best, time.perf_counter() - t0)
-    print(f"# kernel-only: {best*1e3:.1f} ms / {n} rows "
+    tag = " (full64 wire)" if wire == "xy" else ""
+    print(f"# kernel-only{tag}: {best*1e3:.1f} ms / {n} rows "
           f"(padded {dev[0].shape[1]}) -> {n/best:,.0f} rows/s",
           file=sys.stderr)
     return n / best

@@ -60,6 +60,15 @@ def _default_backend(mesh) -> str:
     return "xla" if jax.default_backend() == "cpu" else "pallas"
 
 
+def _variant_tag(tag, skip: bool) -> str:
+    """Registry name of one compiled kernel variant: the wire/cut tag
+    ("hi8"/"hi16"/"hi32"/"full64", None = full planes) plus whether the
+    program carries the block-skip branch (tail batches)."""
+    if tag is None:
+        return "skip" if skip else "full"
+    return f"skip+{tag}" if skip else tag
+
+
 class BatchExecutor:
     """Runs packed batches on one device or a data-sharded mesh."""
 
@@ -447,21 +456,24 @@ class BatchExecutor:
                           if shape[-1] == 1 else lane_sh)
                     return jax.device_put(z, sh)
 
-                variants = []
+                variants = []     # (mode tag or None=full, skip flag)
                 if upload_state["mode"] in ("hi32", "hi16", "hi8",
                                             "full64"):
                     m0 = upload_state["mode"]
-                    variants.append(m0 if m0 == "full64"
-                                    else cut_tag_for(M, m0))
+                    t0 = m0 if m0 == "full64" else cut_tag_for(M, m0)
+                    variants += [(t0, False), (t0, True)]
                 elif auto:
                     # warm both directions the per-batch decision can
                     # flip to: the cut variant (link can degrade mid-scan)
-                    # and the full64 wire (link can outrun the kernel)
-                    variants.append(cut_tag_for(M))
-                    variants.append("full64")
-                variants.append(None)                 # full, skip (tail)
+                    # and the full64 wire (link can outrun the kernel) —
+                    # each in skip-free AND skip (tail) form, so the tail
+                    # batch ships the same thin wire as the main batches
+                    ct = cut_tag_for(M)
+                    variants += [(ct, False), ("full64", False),
+                                 (ct, True), ("full64", True)]
+                variants.append((None, True))         # full, skip (tail)
                 nblk = width // br
-                for tag in variants:
+                for tag, skip_v in variants:
                     if stop.is_set():
                         return
                     hi_val = (True if tag == "hi32" else
@@ -477,7 +489,7 @@ class BatchExecutor:
                                zdev((M, 1) if hi_val else (M, width)),
                                zdev((1, width)))
                     bmask = None
-                    if tag is None:                   # tail/skip variant
+                    if skip_v:
                         m = np.ones(nblk, np.int32)
                         m[-1] = 0
                         bmask = jnp.asarray(m)
@@ -489,7 +501,7 @@ class BatchExecutor:
                         nout=M if tag in ("hi16", "hi8") else None,
                         wire=wire))
                     BatchExecutor._warm_keys.add(
-                        vkey(width, M, tag if tag else "skip"))
+                        vkey(width, M, _variant_tag(tag, skip_v)))
             except Exception:                         # pragma: no cover
                 pass                                  # prewarm is advisory
 
@@ -529,10 +541,13 @@ class BatchExecutor:
                     will_skip = (not rebalance and
                                  K.live_blockmask(n_live, width // br, br)
                                  is not None)
-                    # non-full modes apply to skip-free batches only (the
-                    # tail ships full: one fewer kernel variant to
-                    # compile) and, under auto, only once their program is
-                    # compiled (the process-wide _warm_keys registry)
+                    # non-full modes apply under auto only once their
+                    # program is compiled (the process-wide _warm_keys
+                    # registry); the tail (skip) batch ships the same thin
+                    # wire once ITS skip-variant program is warm, else
+                    # full (pre-r4 it always shipped full — 60 B against
+                    # the main batches' 36, a 25% byte tax on 2-batch
+                    # scans)
                     target = upload_state["mode"]
                     if target == "full" and auto and upload_state["want"]:
                         # a memoized cut decision resolves to the cut tag
@@ -547,7 +562,12 @@ class BatchExecutor:
                             target = w_tag
                     if target in ("hi32", "hi16", "hi8"):
                         target = cut_tag
-                    if will_skip:
+                    if will_skip and target != "full" and \
+                            vkey(width, M_b, _variant_tag(target, True)) \
+                            not in BatchExecutor._warm_keys:
+                        # never compile a skip-variant inside the scan —
+                        # the prewarm thread (or the AOT store) makes it
+                        # warm, usually before the tail arrives
                         target = "full"
                     hi_only = (True if target == "hi32" else
                                target if target in ("hi16", "hi8")
@@ -739,13 +759,33 @@ class BatchExecutor:
                     # measure the bare kernel on batch 0: dispatch()
                     # returned after compilation, inputs are resident (the
                     # feeder synced the transfer), the device is otherwise
-                    # idle — so the wait below is pure kernel time. Cost:
-                    # one batch of lost upload/compute overlap. The mode
-                    # re-evaluates as the first few upload timings land
-                    # (the first H2D over-reads: tunnel/runtime spin-up).
+                    # idle. The wait below is kernel + a sync/readback
+                    # constant C (~45-70 ms ping + the flags D2H, which
+                    # spikes to hundreds of ms on the tunnel) — measured
+                    # at face value it inflated kernel0 ~30% and made the
+                    # model believe the kernel binds, suppressing the cut
+                    # modes on link-bound scans. Two more back-to-back
+                    # dispatches of the resident batch cover 2*kernel + C,
+                    # so the difference isolates the kernel. Cost: ~two
+                    # extra kernel runs ONCE per program shape per process
+                    # (memoized), plus batch 0's lost overlap.
                     t0 = time.perf_counter()
-                    read_back(in_flight.pop(0))
-                    upload_state["kernel0"] = time.perf_counter() - t0
+                    entry0 = in_flight.pop(0)
+                    read_back(entry0)
+                    t1 = time.perf_counter() - t0
+                    t0 = time.perf_counter()
+                    kw = dict(hi_only=hi_val, wire=wire,
+                              nout=(payload.outputs_hi.shape[1]
+                                    if hi_val in ("hi16", "hi8")
+                                    else None))
+                    dispatch(dev, bmask, **kw)
+                    f3 = dispatch(dev, bmask, **kw)
+                    np.asarray(f3)        # device executes in order
+                    dt2 = time.perf_counter() - t0
+                    # clamp into [t1/4, t1]: a tunnel hiccup in either
+                    # window must not produce a negative or inflated value
+                    upload_state["kernel0"] = min(
+                        max(dt2 - t1, 0.25 * t1), t1)
                     _decide()
                 if i == 0 and not rebalance and not interpret:
                     # background-compile the variants this scan may still

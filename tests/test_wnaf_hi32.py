@@ -282,10 +282,13 @@ def test_executor_auto_hi8_memo_and_reverify(monkeypatch):
     from cudasp_tpu.ops import kernels as K
     from cudasp_tpu.runtime import executor as E
 
-    B, M = 700, 1
+    # B chosen so the LAST batch (612 % 256 = 100 live rows < one
+    # 128-row block) really compiles the skip variant: block 1 of the
+    # padded tail is dead, live_blockmask is non-None
+    B, M = 612, 1
     rng = np.random.default_rng(5)
     up = rng.integers(1, 2**62, B).astype(np.int64)       # uploaded values
-    true_rows = {0, 123, 699}
+    true_rows = {0, 123, 611}
     coll_rows = {7, 300, 512}      # agree in top8 only
     comp = {}
     tweaks = np.zeros((B, 64), np.uint8)
@@ -299,7 +302,7 @@ def test_executor_auto_hi8_memo_and_reverify(monkeypatch):
             comp[int(ids[r])] = v ^ 1                     # top8 equal
         else:
             comp[int(ids[r])] = v ^ (1 << 58)             # top8 differs
-    calls = {"hi8": 0, "full": 0}
+    calls = {"hi8": 0, "full": 0, "tail_hi8": 0}
 
     def fake_kernel(tw, oh_p, ol_p, ovm, digits, sx, sy, lxq, lyq, comb,
                     bmask=None, *, nlabels, block_rows, interpret=False,
@@ -310,6 +313,8 @@ def test_executor_auto_hi8_memo_and_reverify(monkeypatch):
         f = np.zeros((1, W), np.int8)
         if hi_only == "hi8":
             calls["hi8"] += 1
+            if bmask is not None and tw.any():   # the real tail batch
+                calls["tail_hi8"] += 1           # (prewarm ships zeros)
             assert nout == M and oh_p.shape[0] == (M + 4) // 4
             assert np.asarray(ovm).shape == (1, 1)        # folded away
             for j in range(W):
@@ -345,8 +350,11 @@ def test_executor_auto_hi8_memo_and_reverify(monkeypatch):
         E.BatchExecutor, "_auto_memo",
         {(None, 0, 128, "fixed", 256, M, "kernel0"):
          {"decision": "hi16", "kernel0": 1e-9}})
+    # skip+hi8 warm too: the TAIL batch (612 % 256 = 100 live rows) must
+    # also ship the thin wire instead of falling back to full planes
     monkeypatch.setattr(E.BatchExecutor, "_warm_keys", {
-        (None, 0, 128, "fixed", 256, M, "hi8")})
+        (None, 0, 128, "fixed", 256, M, "hi8"),
+        (None, 0, 128, "fixed", 256, M, "skip+hi8")})
 
     outputs = [[int(up[r])] for r in range(B)]
     flat, offsets = ingest.outputs_to_csr(outputs)
@@ -360,8 +368,9 @@ def test_executor_auto_hi8_memo_and_reverify(monkeypatch):
                                for fl, srcs in results])
                if results else np.zeros(0, np.int64))
     assert set(matched.tolist()) == true_rows
-    assert calls["hi8"] >= 3       # every main batch shipped hi8
-    assert calls["full"] >= 1      # the exact pass ran
+    assert calls["hi8"] >= 3       # every batch shipped hi8 (+ prewarm)
+    assert calls["tail_hi8"] == 1  # the skip-variant tail shipped hi8 too
+    assert calls["full"] >= 1      # the exact pass ran (full planes)
     th = getattr(ex, "_prewarm_thread", None)
     if th is not None:             # don't tear down jax under the thread
         th.join(timeout=30)

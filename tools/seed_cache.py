@@ -80,9 +80,28 @@ def main():
          None, "hi8", M, "x"),
         ("full64", (z((16, w)), z((M, w)), z((M, w)), z((1, w))),
          None, False, None, "xy"),
+        # tail (skip) programs for the thin wires: the executor ships the
+        # tail batch cut/uncompressed-64 once these are warm
+        ("hi8+sk", (z((8, w)), z(((M + 4) // 4, w)), z((1, 1)), z((1, 1))),
+         jnp.asarray(skipmask), "hi8", M, "x"),
+        ("f64+sk", (z((16, w)), z((M, w)), z((M, w)), z((1, w))),
+         jnp.asarray(skipmask), False, None, "xy"),
     ]
     for name, dev, bmask, hi, nout, wire in variants:
         args = (*dev, digits, *dq, comb, bmask)
+        dig = aot.signature(nlabels=0, block_rows=br, ladder="fixed",
+                            hi_only=hi, nout=nout, wire=wire,
+                            skip=bmask is not None,
+                            shapes=aot.arg_shapes(args))
+        # an up-to-date entry (same signature, same device/jaxlib/source
+        # tag) is left untouched: re-serializing is not byte-stable and
+        # would churn the committed store for identical programs
+        if (aot._manifest().get(dig) == aot._env_tag()
+                and os.path.exists(
+                    os.path.join(aot.AOT_DIR, f"{dig}.jaxexe"))):
+            print(f"# {name:7s} up to date -> {dig}.jaxexe",
+                  file=sys.stderr)
+            continue
         t0 = time.time()
         lowered = K._scan_pallas_call.lower(
             *args, nlabels=0, block_rows=br, ladder="fixed",
@@ -90,10 +109,6 @@ def main():
         t1 = time.time()
         compiled = lowered.compile()
         t2 = time.time()
-        dig = aot.signature(nlabels=0, block_rows=br, ladder="fixed",
-                            hi_only=hi, nout=nout, wire=wire,
-                            skip=bmask is not None,
-                            shapes=aot.arg_shapes(args))
         path = aot.save(dig, compiled)
         print(f"# {name:7s} lower {t1-t0:5.1f}s  compile {t2-t1:6.1f}s  "
               f"-> {os.path.basename(path)} "
