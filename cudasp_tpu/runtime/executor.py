@@ -596,9 +596,13 @@ class BatchExecutor:
                            else upload_planes(planes, hi_only))
                     if detail or auto:
                         # force transfer completion with a tiny D2H read
-                        # (one ~45 ms ping per batch; it also paces the
-                        # feeder to the link, and under auto it feeds the
-                        # per-batch upload-vs-kernel decision)
+                        # (one ~45 ms ping per batch; under auto it feeds
+                        # the per-batch upload-vs-kernel decision). The
+                        # ping ALSO serializes the tunnel: an every-4th
+                        # sampling variant let async device_puts overlap
+                        # and the tunnel degrades under concurrent
+                        # transfers (measured 7.4 s vs 6.0 s on the same
+                        # 2M-row scan at a FASTER link) — do not retry.
                         np.asarray(dev[0][:1, :1])
                         dt = time.perf_counter() - t0
                         if auto:
