@@ -151,7 +151,16 @@ def main():
     t0 = time.time()
     scan(warm, V.SCAN_KEY_BIP352, V.SPEND_BIP352, label_blobs,
          batch_size=args.batch_size)
-    print(f"# warmup (compile): {time.time()-t0:.1f}s", file=sys.stderr)
+    # wait out the background variant prewarm before timing anything: an
+    # XLA compile on another thread competes for this host's cores and
+    # contaminates the timed runs (the labels=1 curve point measured 6.4x
+    # run-to-run spread from exactly this; its variants are not in the
+    # committed AOT store, so prewarm really compiles)
+    from cudasp_tpu.runtime.executor import BatchExecutor
+
+    BatchExecutor.join_prewarm()
+    print(f"# warmup (compile + prewarm): {time.time()-t0:.1f}s",
+          file=sys.stderr)
 
     times = []
     links = []       # measured H2D MB/s per run (executor per-batch timing)

@@ -120,6 +120,20 @@ def main(argv=None) -> int:
     sp.add_argument("--batch-size", type=int, default=None)
     sp.add_argument("--backend", default="auto",
                     choices=["auto", "pallas", "xla"])
+    sp.add_argument("--upload", default="auto",
+                    choices=["auto", "full64", "full", "hi32", "hi16",
+                             "hi8"],
+                    help="batch wire format: auto picks per batch from "
+                         "the measured link rate vs kernel time; full64 "
+                         "ships the uncompressed 64-B point (fast links), "
+                         "hi8/hi16/hi32 ship prefilter words + exact "
+                         "reverify (slow links)")
+    sp.add_argument("--ladder", default="auto",
+                    choices=["auto", "fixed", "wnaf"],
+                    help="scalar-ladder schedule (auto = fixed)")
+    sp.add_argument("--block-rows", type=int, default=None,
+                    help="Pallas kernel rows per grid step (default: "
+                         "measured per device kind)")
     sp.add_argument("--out", default="-",
                     help="output file (.parquet/.feather) or '-' for JSONL")
     sp.add_argument("--metrics", action="store_true",
@@ -180,9 +194,12 @@ def main(argv=None) -> int:
         spend_key = _read_key(args.spend_key, 64, "--spend-key")
         labels = [_read_key(s, 64, "--label") for s in args.label]
 
-        cfg = ScanConfig(backend=args.backend)
+        cfg = ScanConfig(backend=args.backend, upload=args.upload,
+                         ladder=args.ladder)
         if args.batch_size is not None:
             cfg.batch_size = args.batch_size
+        if args.block_rows is not None:
+            cfg.block_rows = args.block_rows
         if args.stream:
             if not args.input.endswith((".parquet", ".pq")):
                 raise SystemExit("--stream requires a parquet input")
