@@ -46,10 +46,35 @@ def _copy_seed(target: str) -> None:
         pass                                   # seeding is best-effort
 
 
+def _host_tag() -> str:
+    """Short digest of this machine's CPU feature set. XLA:CPU AOT cache
+    entries bake in target machine features and only warn ("could lead to
+    execution errors such as SIGILL") when loaded on a host missing some —
+    observed here when a cache dir outlived its container host. Scoping
+    the default cache dir by host features makes a moved cache a cold
+    cache instead of a crash risk; TPU entries are unaffected (their keys
+    carry the device kind)."""
+    import hashlib
+
+    feats = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    feats = line
+                    break
+    except OSError:                                # pragma: no cover
+        import platform
+
+        feats = platform.processor() or platform.machine()
+    return hashlib.sha256(feats.encode()).hexdigest()[:8]
+
+
 def cache_dir() -> str:
     env = os.environ.get("CUDASP_COMPILE_CACHE", "")
     return env or os.path.join(
-        os.path.expanduser("~"), ".cache", "cudasp_tpu", "jax-cache")
+        os.path.expanduser("~"), ".cache", "cudasp_tpu",
+        f"jax-cache-{_host_tag()}")
 
 
 def ensure() -> None:
