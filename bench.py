@@ -279,11 +279,12 @@ def kernel_only(tweaks, flat, offsets, args, n=524288, reps=3, wire="x"):
     def run():
         args = (*dev, digits, *dq, comb, None)
         f = aot.maybe_call(args, nlabels=nlabels, block_rows=br,
-                           ladder=ladder, wire=wire)
+                           ladder=ladder, wire=wire, pack_flags=True)
         if f is None:
             f = K._scan_pallas_call(*dev, digits, *dq, comb,
                                     nlabels=nlabels, block_rows=br,
-                                    ladder=ladder, wire=wire)
+                                    ladder=ladder, wire=wire,
+                                    pack_flags=True)
         np.asarray(f)      # force sync (block_until_ready lies on axon)
 
     run()                  # compile + warm

@@ -671,12 +671,14 @@ def _scan_block(nlabels, nout, ladder, hi_only, wire, digits_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("nlabels", "block_rows", "interpret",
-                                    "ladder", "hi_only", "nout", "wire"))
+                                    "ladder", "hi_only", "nout", "wire",
+                                    "pack_flags"))
 def _scan_pallas_call(tweak_words, outputs_hi, outputs_lo, outputs_mask,
                       digits, spend_x, spend_y,
                       label_x, label_y, comb, blockmask=None, *, nlabels,
                       block_rows, interpret=False, ladder="fixed",
-                      hi_only=False, nout=None, wire="x"):
+                      hi_only=False, nout=None, wire="x",
+                      pack_flags=False):
     B = tweak_words.shape[1]
     TW = 16 if wire == "xy" else 8       # uploaded tweak word rows
     Mp = outputs_hi.shape[0]          # uploaded oh rows (packed for hi16)
@@ -746,12 +748,24 @@ def _scan_pallas_call(tweak_words, outputs_hi, outputs_lo, outputs_mask,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
     )(*args)
+    if pack_flags:
+        # bit-pack the per-row flags into uint32 words (XLA epilogue,
+        # fused after the kernel): the flags readback otherwise ships
+        # 1 B/row D2H CONCURRENTLY with the next batch's upload, and the
+        # tunnel degrades under concurrent transfers — 0.5 MB/batch drops
+        # to 16 KB. Requires B % 32 == 0 (callers guarantee: lane widths
+        # are block_rows multiples). Hosts detect packing by dtype.
+        bits = flags[0].astype(jnp.uint32).reshape(-1, 32)
+        return jnp.sum(
+            bits << jnp.arange(32, dtype=jnp.uint32)[None, :],
+            axis=1, dtype=jnp.uint32)[None, :]
     return flags
 
 
 @functools.lru_cache(maxsize=32)
 def _sharded_scan_fn(mesh, nlabels, block_rows, interpret, skip=False,
-                     ladder="fixed", hi_only=False, nout=None, wire="x"):
+                     ladder="fixed", hi_only=False, nout=None, wire="x",
+                     pack_flags=False):
     """shard_map-wrapped scan over the mesh's 'data' axis: each chip runs
     the Pallas grid over its local row shard; no collectives are needed
     inside the kernel (rows are independent — SURVEY.md §2.4). This is the
@@ -773,7 +787,7 @@ def _sharded_scan_fn(mesh, nlabels, block_rows, interpret, skip=False,
         functools.partial(_scan_pallas_call, nlabels=nlabels,
                           block_rows=block_rows, interpret=interpret,
                           ladder=ladder, hi_only=hi_only, nout=nout,
-                          wire=wire),
+                          wire=wire, pack_flags=pack_flags),
         mesh=mesh,
         in_specs=specs,
         out_specs=lane,
@@ -786,7 +800,8 @@ def scan_pallas_sharded(mesh, tweak_words, outputs_hi, outputs_lo,
                         outputs_mask, digits, spend_x, spend_y,
                         label_x, label_y, comb, blockmask=None, *, nlabels,
                         block_rows=256, interpret=False, ladder="fixed",
-                        hi_only=False, nout=None, wire="x"):
+                        hi_only=False, nout=None, wire="x",
+                        pack_flags=False):
     """Multi-chip fused scan: batch lanes sharded over mesh axis 'data'.
     B must be a multiple of n_devices * block_rows. blockmask: (B //
     block_rows,) int32, nonzero where the block has live rows (lanes are
@@ -802,7 +817,8 @@ def scan_pallas_sharded(mesh, tweak_words, outputs_hi, outputs_lo,
                           str(ladder),
                           hi_only if isinstance(hi_only, str)
                           else bool(hi_only),
-                          None if nout is None else int(nout), str(wire))
+                          None if nout is None else int(nout), str(wire),
+                          bool(pack_flags))
     args = (tweak_words, outputs_hi, outputs_lo, outputs_mask, digits,
             spend_x, spend_y, label_x, label_y, comb)
     if blockmask is not None:

@@ -73,12 +73,14 @@ def _env_tag():
 
 
 def signature(*, nlabels: int, block_rows: int, ladder: str, hi_only,
-              nout, wire: str, skip: bool, shapes) -> str:
+              nout, wire: str, skip: bool, shapes,
+              pack_flags: bool = False) -> str:
     """Stable digest of one kernel variant: the jit static args plus the
     (shape, dtype) list of its array arguments."""
     payload = json.dumps({
         "nlabels": nlabels, "block_rows": block_rows, "ladder": ladder,
         "hi_only": str(hi_only), "nout": nout, "wire": wire, "skip": skip,
+        "pack_flags": bool(pack_flags),
         "shapes": [[list(s), str(d)] for s, d in shapes],
     }, sort_keys=True)
     return hashlib.sha256(payload.encode()).hexdigest()[:24]
@@ -148,7 +150,7 @@ def lookup(digest: str):
 
 
 def maybe_call(args, *, nlabels, block_rows, ladder="fixed",
-               hi_only=False, nout=None, wire="x"):
+               hi_only=False, nout=None, wire="x", pack_flags=False):
     """Run the scan kernel from the AOT store if a matching executable
     exists; returns the flags array or None (caller falls back to jit).
     `args` is the full positional tuple (tweaks..comb, blockmask-or-None)
@@ -156,7 +158,8 @@ def maybe_call(args, *, nlabels, block_rows, ladder="fixed",
     fn = lookup(signature(nlabels=nlabels, block_rows=block_rows,
                           ladder=ladder, hi_only=hi_only, nout=nout,
                           wire=wire, skip=args[-1] is not None,
-                          shapes=arg_shapes(args)))
+                          shapes=arg_shapes(args),
+                          pack_flags=pack_flags))
     return None if fn is None else fn(*args)
 
 

@@ -60,6 +60,16 @@ def _default_backend(mesh) -> str:
     return "xla" if jax.default_backend() == "cpu" else "pallas"
 
 
+def _flags_to_bool(arr: np.ndarray, n: int) -> np.ndarray:
+    """Decode a device flags array to (n,) bool. uint32 means the kernel
+    bit-packed them (kernels._scan_pallas_call pack_flags — 1 bit/row,
+    little-endian within each word); int8 is the unpacked form."""
+    if arr.dtype == np.uint32:
+        bits = (arr[0][:, None] >> np.arange(32, dtype=np.uint32)) & 1
+        return bits.astype(bool).reshape(-1)[:n]
+    return arr[0, :n] != 0
+
+
 def _variant_tag(tag, skip: bool) -> str:
     """Registry name of one compiled kernel variant: the wire/cut tag
     ("hi8"/"hi16"/"hi32"/"full64", None = full planes) plus whether the
@@ -323,6 +333,9 @@ class BatchExecutor:
                     comb, nlabels=nlabels, block_rows=br,
                     interpret=interpret, ladder=ladder)
             if mesh is None:
+                # bit-packed flags (1 B/row -> 1 bit/row D2H) whenever the
+                # lane width allows; hosts detect packing by dtype
+                packf = dev[0].shape[1] % 32 == 0
                 args = (*dev, digits, sx, sy, lx, ly, comb, bmask)
                 if not interpret:
                     # AOT store (runtime/aot.py): a deserialized executable
@@ -333,16 +346,19 @@ class BatchExecutor:
                     f = aot.maybe_call(args, nlabels=nlabels,
                                        block_rows=br, ladder=ladder,
                                        hi_only=hi_only, nout=nout,
-                                       wire=wire)
+                                       wire=wire, pack_flags=packf)
                     if f is not None:
                         return f
                 return K._scan_pallas_call(
                     *args, nlabels=nlabels, block_rows=br, ladder=ladder,
-                    hi_only=hi_only, nout=nout, wire=wire)
+                    hi_only=hi_only, nout=nout, wire=wire,
+                    pack_flags=packf)
+            packf = (dev[0].shape[1] // mesh.devices.size) % 32 == 0
             return K.scan_pallas_sharded(
                 mesh, *dev, digits, sx, sy, lx, ly, comb, bmask,
                 nlabels=nlabels, block_rows=br, interpret=interpret,
-                ladder=ladder, hi_only=hi_only, nout=nout, wire=wire)
+                ladder=ladder, hi_only=hi_only, nout=nout, wire=wire,
+                pack_flags=packf)
 
         # Host packing + H2D upload run on a feeder thread so the transfer
         # of batch i+1 rides alongside the kernel of batch i (the role of
@@ -656,7 +672,7 @@ class BatchExecutor:
                         | (np.asarray(slo)[0].astype(np.int64)
                            & 0xFFFFFFFF))
             else:
-                fl = np.asarray(f)[0, :n] != 0
+                fl = _flags_to_bool(np.asarray(f), n)
             if detail:
                 metrics.device_wait_seconds += time.perf_counter() - t0
             if payload is not None:
@@ -727,7 +743,7 @@ class BatchExecutor:
                             NamedSharding(mesh, PartitionSpec("data")))
                 dev = upload_planes(planes, False, pad_width=width)
                 f = dispatch(dev, bmask, hi_only=False)
-                exact[bslice] = np.asarray(f)[0, :nsub] != 0
+                exact[bslice] = _flags_to_bool(np.asarray(f), nsub)
             at = 0
             for slot, flagged, *_ in pending:
                 results[slot][0][flagged] = exact[at: at + len(flagged)]

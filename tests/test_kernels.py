@@ -336,6 +336,40 @@ def test_pallas_sharded_lane_split(monkeypatch):
         K._sharded_scan_fn.cache_clear()
 
 
+def test_pallas_pack_flags_roundtrip():
+    """pack_flags=True returns bit-packed uint32 flags (1 bit/row D2H
+    instead of 1 B/row); the executor's decoder must reproduce the
+    unpacked kernel's booleans exactly."""
+    import jax.numpy as jnp
+    from cudasp_tpu.oracle import vectors as V
+    from cudasp_tpu.ops import kernels as K
+    from cudasp_tpu.runtime.executor import _flags_to_bool
+
+    case = V.CASES[0]
+    B = 128
+    (tweaks, oh, ol, ov, expect,
+     sx, sy, lx, ly, nl, digits) = _kernel_case_arrays(case, B)
+    planes = K.pack_batch_arrays(tweaks, np.ones(B, bool), oh, ol, ov, 128)
+
+    def run(pack):
+        return np.asarray(K._scan_pallas_call(
+            *(jnp.asarray(a) for a in planes), jnp.asarray(digits),
+            jnp.asarray(sx), jnp.asarray(sy), jnp.asarray(lx),
+            jnp.asarray(ly), K.comb_table_kernel(), nlabels=nl,
+            block_rows=128, interpret=True, ladder="fixed",
+            pack_flags=pack))
+
+    packed = run(True)
+    assert packed.dtype == np.uint32 and packed.shape == (1, B // 32)
+    unpacked = run(False)
+    assert unpacked.dtype == np.int8 and unpacked.shape == (1, B)
+    assert np.array_equal(_flags_to_bool(packed, B),
+                          unpacked[0] != 0)
+    assert np.array_equal(_flags_to_bool(packed, B), expect)
+    # decoder passthrough on the unpacked form
+    assert np.array_equal(_flags_to_bool(unpacked, B), expect)
+
+
 @pytest.mark.parametrize("cut,punits", [("hi16", 2), ("hi8", 4)])
 def test_pallas_sharded_folded_cut_dummy_specs(monkeypatch, cut, punits):
     """hi16/hi8 over a mesh: the packed plane lane-shards while the (1, 1)

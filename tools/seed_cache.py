@@ -87,12 +87,13 @@ def main():
         ("f64+sk", (z((16, w)), z((M, w)), z((M, w)), z((1, w))),
          jnp.asarray(skipmask), False, None, "xy"),
     ]
+    skipped = 0
     for name, dev, bmask, hi, nout, wire in variants:
         args = (*dev, digits, *dq, comb, bmask)
         dig = aot.signature(nlabels=0, block_rows=br, ladder="fixed",
                             hi_only=hi, nout=nout, wire=wire,
                             skip=bmask is not None,
-                            shapes=aot.arg_shapes(args))
+                            shapes=aot.arg_shapes(args), pack_flags=True)
         # an up-to-date entry (same signature, same device/jaxlib/source
         # tag) is left untouched: re-serializing is not byte-stable and
         # would churn the committed store for identical programs
@@ -101,11 +102,12 @@ def main():
                     os.path.join(aot.AOT_DIR, f"{dig}.jaxexe"))):
             print(f"# {name:7s} up to date -> {dig}.jaxexe",
                   file=sys.stderr)
+            skipped += 1
             continue
         t0 = time.time()
         lowered = K._scan_pallas_call.lower(
             *args, nlabels=0, block_rows=br, ladder="fixed",
-            hi_only=hi, nout=nout, wire=wire)
+            hi_only=hi, nout=nout, wire=wire, pack_flags=True)
         t1 = time.time()
         compiled = lowered.compile()
         t2 = time.time()
@@ -114,7 +116,28 @@ def main():
               f"-> {os.path.basename(path)} "
               f"({os.path.getsize(path)/1e6:.1f} MB)", file=sys.stderr)
 
-    # copy the persistent-cache entries written above into the seed dir
+    # prune AOT entries seeded from other sources/devices/jaxlibs: the
+    # env-tag gate already stops them from loading, but stale 20 MB
+    # executables should not keep shipping in the package
+    man = aot._manifest()
+    tag = aot._env_tag()
+    for dig in [d for d, ent in man.items() if ent != tag]:
+        man.pop(dig)
+        try:
+            os.remove(os.path.join(aot.AOT_DIR, f"{dig}.jaxexe"))
+        except OSError:
+            pass
+    import json as _json
+
+    with open(os.path.join(aot.AOT_DIR, "manifest.json"), "w") as f:
+        _json.dump(man, f, indent=1, sort_keys=True)
+
+    # when every variant was recompiled (a source change), the fresh cache
+    # dir is the complete valid seed set — rebuild SEED_DIR from it so
+    # stale keys from older sources stop shipping; on a partial run
+    # (some variants up to date) merge-copy instead
+    if not skipped and os.path.isdir(SEED_DIR):
+        shutil.rmtree(SEED_DIR)
     os.makedirs(SEED_DIR, exist_ok=True)
     copied = 0
     for name in os.listdir(fresh):
