@@ -47,13 +47,17 @@ def _src_digest() -> str:
     the extension binary is rebuilt whenever its .cu sources change)."""
     global _src_digest_cache
     if _src_digest_cache is None:
+        import glob
+
         ops = os.path.join(os.path.dirname(os.path.dirname(__file__)),
                            "ops")
         h = hashlib.sha256()
-        for name in ("field.py", "curve.py", "scalar.py", "sha256.py",
-                     "kernels.py"):
+        # every ops/*.py, discovered — a NEW compute-path module must
+        # invalidate the store too (ADVICE r4), not just the original five
+        for path in sorted(glob.glob(os.path.join(ops, "*.py"))):
+            h.update(os.path.basename(path).encode() + b"\0")
             try:
-                with open(os.path.join(ops, name), "rb") as f:
+                with open(path, "rb") as f:
                     h.update(f.read())
             except OSError:                        # pragma: no cover
                 h.update(b"?")

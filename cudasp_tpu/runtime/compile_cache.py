@@ -34,6 +34,8 @@ def _copy_seed(target: str) -> None:
     try:
         os.makedirs(target, exist_ok=True)
         for name in os.listdir(SEED_DIR):
+            if name == "seed_manifest.json":   # seeder bookkeeping only
+                continue
             dst = os.path.join(target, name)
             if os.path.exists(dst):
                 continue

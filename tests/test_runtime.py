@@ -144,6 +144,56 @@ def test_executor_error_path_shutdown(monkeypatch):
     assert not leaked, f"feeder thread leaked: {leaked}"
 
 
+def test_executor_batch_retry_transient_fault(monkeypatch):
+    """SURVEY §5 elastic recovery: a TRANSIENT dispatch failure is retried
+    once (counted in metrics.batch_retries) and the scan completes with
+    correct flags; a persistent failure still raises ExecutionError after
+    the retry. The reference silently zero-matches a failed batch
+    (src/cudasp_gpu.cu:467-469) — retry-then-loud strictly dominates."""
+    import jax.numpy as jnp
+
+    from cudasp_tpu.io import ingest
+    from cudasp_tpu.ops import kernels as K
+    from cudasp_tpu.runtime.errors import ExecutionError
+    from cudasp_tpu.runtime.executor import BatchExecutor
+    from cudasp_tpu.runtime.metrics import ScanMetrics
+
+    case = V.CASES[0]
+    n = 3 * 128
+    blobs = np.tile(np.frombuffer(case.rows[0].tweak_blob, np.uint8),
+                    (n, 1))
+    flat = np.arange(3 * n, dtype=np.int64)
+    offsets = np.arange(n + 1, dtype=np.int64) * 3
+    w, sx, sy, lx, ly, nl = ingest.pack_query_keys(
+        case.scan_key_blob, case.spend_blob, [])
+
+    state = {"calls": 0, "fail_at": {2}}     # batch index 1 (call #2)
+
+    def flaky(tw, oh, ol, ovm, *a, **kw):
+        state["calls"] += 1
+        if state["calls"] in state["fail_at"]:
+            raise RuntimeError("injected transient fault")
+        return ((ovm >> 31) & 1).astype(jnp.int8)   # live rows match
+
+    monkeypatch.setattr(K, "_scan_pallas_call", flaky)
+    batches = ingest.iter_packed(blobs, flat, offsets, batch_size=128,
+                                 max_outputs=3, layout="kernel")
+    m = ScanMetrics()
+    ex = BatchExecutor(backend="pallas", block_rows=128)
+    results = ex.run(batches, w, sx, sy, lx, ly, nl, metrics=m)
+    assert m.batch_retries == 1
+    got = np.concatenate([srcs[fl & (srcs >= 0)] for fl, srcs in results])
+    assert len(got) == n                     # no rows lost to the fault
+
+    # persistent failure: retry exhausts, ExecutionError carries batch idx
+    state["calls"], state["fail_at"] = 0, {2, 3}
+    batches = ingest.iter_packed(blobs, flat, offsets, batch_size=128,
+                                 max_outputs=3, layout="kernel")
+    ex = BatchExecutor(backend="pallas", block_rows=128)
+    with pytest.raises(ExecutionError):
+        ex.run(batches, w, sx, sy, lx, ly, nl)
+
+
 def test_scan_stream_heterogeneous_schema_raises():
     """Chunks must agree on passthrough columns (all-or-none), or the
     concatenated txid/height parts would misalign with global indices."""

@@ -124,8 +124,7 @@ def test_executor_hi32_reverify_exact(monkeypatch):
     calls = {"hi": 0, "full": 0}
 
     def fake_kernel(tw, oh_p, ol_p, ovm, digits, sx, sy, lxq, lyq, comb,
-                    bmask=None, *, nlabels, block_rows, interpret=False,
-                    ladder="fixed", hi_only=False, nout=None, wire="x"):
+                    bmask=None, *, hi_only=False, **kw):
         calls["hi" if hi_only else "full"] += 1
         tw = np.asarray(tw)
         oh_p = np.asarray(oh_p)
@@ -305,8 +304,7 @@ def test_executor_auto_hi8_memo_and_reverify(monkeypatch):
     calls = {"hi8": 0, "full": 0, "tail_hi8": 0}
 
     def fake_kernel(tw, oh_p, ol_p, ovm, digits, sx, sy, lxq, lyq, comb,
-                    bmask=None, *, nlabels, block_rows, interpret=False,
-                    ladder="fixed", hi_only=False, nout=None, wire="x"):
+                    bmask=None, *, hi_only=False, nout=None, **kw):
         tw = np.asarray(tw)
         oh_p = np.asarray(oh_p)
         W = tw.shape[1]

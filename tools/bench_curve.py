@@ -26,6 +26,25 @@ REFERENCE = {                     # rows -> reference tx/s (README.md:130-134)
 }
 
 
+def engine_id():
+    """Identity of the engine being measured: compute-path source digest
+    (runtime/aot._src_digest — what the kernel actually traces from) plus
+    git HEAD for human cross-reference. Best-per-point merging is only
+    valid between runs of the SAME engine (ADVICE r4: without this a
+    kernel regression could hide behind an old record forever)."""
+    sys.path.insert(0, ROOT)
+    from cudasp_tpu.runtime import aot
+
+    head = ""
+    try:
+        head = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"], cwd=ROOT,
+            capture_output=True, text=True).stdout.strip()
+    except OSError:
+        pass
+    return {"src": aot._src_digest(), "git": head}
+
+
 def run_point(rows, labels=0, repeats=3):
     cmd = [sys.executable, os.path.join(ROOT, "bench.py"),
            "--rows", str(rows), "--repeats", str(repeats)]
@@ -53,19 +72,24 @@ def main():
     ap.add_argument("--out", default=os.path.join(ROOT, "BENCH_CURVE.json"))
     args = ap.parse_args()
 
+    eng = engine_id()
     records = []
     for rows in args.points:
-        records.append(run_point(rows))
+        records.append({**run_point(rows), "engine": eng})
         print(json.dumps(records[-1]), flush=True)
     if args.labeled_rows:
-        records.append(run_point(args.labeled_rows, labels=1))
+        records.append({**run_point(args.labeled_rows, labels=1),
+                        "engine": eng})
         print(json.dumps(records[-1]), flush=True)
 
     # merge with the existing curve, best value per (rows, labels) point:
     # the e2e number tracks the tunnel's drifting bandwidth (each record
     # carries its measured link_MBps), so a re-run in a bad link window
-    # must not erase a better measurement of the same engine — the same
-    # best-of policy bench.py applies within one run, across sessions
+    # must not erase a better measurement of the same engine — but ONLY of
+    # the same engine (matching src digest, ADVICE r4): after a kernel or
+    # executor change the fresh number replaces the old record, which is
+    # retained in a `history` field instead of silently masking a
+    # regression in the committed curve
     try:
         with open(args.out) as f:
             old = {(r.get("rows"), r.get("labels", 0)): r
@@ -76,12 +100,26 @@ def main():
     for rec in records:
         key = (rec.get("rows"), rec.get("labels", 0))
         prev = old.pop(key, None)
-        if prev and prev.get("value", 0) > rec.get("value", 0):
+        if prev is None:
+            merged.append(rec)
+            continue
+        same_engine = (prev.get("engine", {}).get("src")
+                       == eng["src"])
+        if same_engine and prev.get("value", 0) > rec.get("value", 0):
             print(f"# keeping previous {key} point "
                   f"({prev['value']:.0f} > {rec.get('value', 0):.0f} "
                   f"tx/s; link {prev.get('link_MBps')} vs "
                   f"{rec.get('link_MBps')} MB/s)", file=sys.stderr)
             rec = prev
+        elif not same_engine:
+            hist = prev.pop("history", [])
+            rec["history"] = hist + [
+                {k: prev.get(k) for k in
+                 ("value", "link_MBps", "engine") if k in prev}]
+            print(f"# engine changed at {key}: replacing "
+                  f"{prev.get('value', 0):.0f} -> "
+                  f"{rec.get('value', 0):.0f} tx/s (old engine kept in "
+                  f"history)", file=sys.stderr)
         merged.append(rec)
     merged.extend(old.values())          # points not re-run this time
 

@@ -116,12 +116,18 @@ def main():
               f"-> {os.path.basename(path)} "
               f"({os.path.getsize(path)/1e6:.1f} MB)", file=sys.stderr)
 
-    # prune AOT entries seeded from other sources/devices/jaxlibs: the
-    # env-tag gate already stops them from loading, but stale 20 MB
-    # executables should not keep shipping in the package
+    # prune AOT entries THIS host can vouch are stale: same device kind +
+    # jaxlib but an outdated source digest. Entries for OTHER device kinds
+    # or jaxlib versions are kept — this seeder cannot know whether they
+    # are current there, and deleting them would wipe another device's
+    # committed seeds (ADVICE r4)
     man = aot._manifest()
     tag = aot._env_tag()
-    for dig in [d for d, ent in man.items() if ent != tag]:
+    stale = [d for d, ent in man.items()
+             if ent != tag
+             and ent.get("device_kind") == tag["device_kind"]
+             and ent.get("jaxlib") == tag["jaxlib"]]
+    for dig in stale:
         man.pop(dig)
         try:
             os.remove(os.path.join(aot.AOT_DIR, f"{dig}.jaxexe"))
@@ -132,19 +138,37 @@ def main():
     with open(os.path.join(aot.AOT_DIR, "manifest.json"), "w") as f:
         _json.dump(man, f, indent=1, sort_keys=True)
 
-    # when every variant was recompiled (a source change), the fresh cache
-    # dir is the complete valid seed set — rebuild SEED_DIR from it so
-    # stale keys from older sources stop shipping; on a partial run
-    # (some variants up to date) merge-copy instead
-    if not skipped and os.path.isdir(SEED_DIR):
-        shutil.rmtree(SEED_DIR)
+    # xla_seed entries are opaque XLA cache keys with no readable device
+    # tag, so a sidecar manifest records which env each shipped file came
+    # from; on a full recompile only files recorded for THIS device kind +
+    # jaxlib with a stale src are pruned (never rmtree — other devices'
+    # seeds live here too, ADVICE r4). Untracked legacy files are left
+    # alone: manual cleanup only.
     os.makedirs(SEED_DIR, exist_ok=True)
+    seed_man_path = os.path.join(SEED_DIR, "seed_manifest.json")
+    try:
+        with open(seed_man_path) as f:
+            seed_man = _json.load(f)
+    except (OSError, ValueError):
+        seed_man = {}
+    if not skipped:
+        for name, ent in list(seed_man.items()):
+            if (ent != tag and ent.get("device_kind") == tag["device_kind"]
+                    and ent.get("jaxlib") == tag["jaxlib"]):
+                seed_man.pop(name)
+                try:
+                    os.remove(os.path.join(SEED_DIR, name))
+                except OSError:
+                    pass
     copied = 0
     for name in os.listdir(fresh):
         dst = os.path.join(SEED_DIR, name)
         if not os.path.exists(dst):
             shutil.copy2(os.path.join(fresh, name), dst)
             copied += 1
+        seed_man[name] = tag
+    with open(seed_man_path, "w") as f:
+        _json.dump(seed_man, f, indent=1, sort_keys=True)
     aot_total = sum(os.path.getsize(os.path.join(aot.AOT_DIR, f))
                     for f in os.listdir(aot.AOT_DIR))
     seed_total = sum(os.path.getsize(os.path.join(SEED_DIR, f))
