@@ -99,6 +99,9 @@ def main():
     ap.add_argument("--max-repeats", type=int, default=8)
     ap.add_argument("--no-kernel-only", action="store_true",
                     help="skip the device-resident kernel-only measurement")
+    ap.add_argument("--no-static-kernel", action="store_true",
+                    help="skip the static-key-ladder kernel measurement "
+                         "(it compiles per key unless AOT-seeded)")
     ap.add_argument("--platform", default=None,
                     help="force jax platform (e.g. cpu)")
     args = ap.parse_args()
@@ -208,13 +211,18 @@ def main():
         print(f"# WARNING: run-to-run spread {spread:.1f}x > 1.3x "
               f"(times: {[round(t, 2) for t in times]})", file=sys.stderr)
 
-    kernel_rows_per_s = kernel_full64 = None
+    kernel_rows_per_s = kernel_full64 = kernel_static = None
     if not args.no_kernel_only and jax.default_backend() != "cpu":
         kernel_rows_per_s = kernel_only(tweaks, flat, offsets, args)
         # the full64 wire skips the sqrt decompress — the engine's best
         # device-resident number (what e2e converges to on fast links)
         kernel_full64 = kernel_only(tweaks, flat, offsets, args,
                                     wire="xy")
+        # per-key compiled ladder on the full64 wire: the engine's peak
+        # (ScanConfig(static_key=True); ~21 fewer adds than fixed)
+        if not args.no_static_kernel:
+            kernel_static = kernel_only(tweaks, flat, offsets, args,
+                                        wire="xy", ladder="static")
 
     txs = args.rows / best
     out = {
@@ -236,11 +244,14 @@ def main():
         out["kernel_rows_per_s"] = round(kernel_rows_per_s, 1)
     if kernel_full64:
         out["kernel_rows_per_s_full64"] = round(kernel_full64, 1)
+    if kernel_static:
+        out["kernel_rows_per_s_static_full64"] = round(kernel_static, 1)
     print(json.dumps(out))
     return 0
 
 
-def kernel_only(tweaks, flat, offsets, args, n=524288, reps=3, wire="x"):
+def kernel_only(tweaks, flat, offsets, args, n=524288, reps=3, wire="x",
+                ladder=None):
     """Device-resident kernel throughput (no host pack / H2D in the timed
     region): the number end-to-end converges to when the upload path is
     not the bottleneck. Reuses the first n rows of the bench dataset.
@@ -257,7 +268,8 @@ def kernel_only(tweaks, flat, offsets, args, n=524288, reps=3, wire="x"):
 
     n = min(n, args.rows)
     br = int(os.environ.get("CUDASP_BLOCK_ROWS", "640"))
-    ladder = os.environ.get("CUDASP_LADDER", "fixed")
+    if ladder is None:
+        ladder = os.environ.get("CUDASP_LADDER", "fixed")
     b = next(iter(ingest.iter_packed(
         tweaks[:n], flat[: offsets[n]], offsets[: n + 1], batch_size=n,
         max_outputs=3, layout="kernel")))
@@ -269,6 +281,8 @@ def kernel_only(tweaks, flat, offsets, args, n=524288, reps=3, wire="x"):
     k = blob32_to_scalar(V.SCAN_KEY_BIP352)
     sched = S.glv_wnaf_steps(k) if ladder == "wnaf" else S.glv_odd_sched(k)
     digits = jnp.asarray(np.asarray(sched, np.int32))
+    # per-key compiled ladder: the schedule is program literals
+    ssched = S.glv_wnaf_static(k) if ladder == "static" else None
     dev = tuple(jnp.asarray(a) for a in planes)
     dq = tuple(jnp.asarray(a) for a in
                K.pack_query_arrays(sx, sy, lx, ly, br))
@@ -279,12 +293,13 @@ def kernel_only(tweaks, flat, offsets, args, n=524288, reps=3, wire="x"):
     def run():
         args = (*dev, digits, *dq, comb, None)
         f = aot.maybe_call(args, nlabels=nlabels, block_rows=br,
-                           ladder=ladder, wire=wire, pack_flags=True)
+                           ladder=ladder, wire=wire, pack_flags=True,
+                           static_sched=ssched)
         if f is None:
             f = K._scan_pallas_call(*dev, digits, *dq, comb,
                                     nlabels=nlabels, block_rows=br,
                                     ladder=ladder, wire=wire,
-                                    pack_flags=True)
+                                    pack_flags=True, static_sched=ssched)
         np.asarray(f)      # force sync (block_until_ready lies on axon)
 
     run()                  # compile + warm
@@ -294,6 +309,8 @@ def kernel_only(tweaks, flat, offsets, args, n=524288, reps=3, wire="x"):
         run()
         best = min(best, time.perf_counter() - t0)
     tag = " (full64 wire)" if wire == "xy" else ""
+    if ladder == "static":
+        tag += " [static-key ladder]"
     print(f"# kernel-only{tag}: {best*1e3:.1f} ms / {n} rows "
           f"(padded {dev[0].shape[1]}) -> {n/best:,.0f} rows/s",
           file=sys.stderr)

@@ -55,6 +55,14 @@ class ScanConfig:
     # more adds; the wnaf step's lax.cond serializes worse). CUDASP_LADDER
     # fills the "auto" default only (an explicit value wins).
     ladder: str = "auto"
+    # static_key=True compiles the scan key's wNAF schedule INTO the
+    # kernel program (ladder="static": ~43 straight-line adds vs fixed's
+    # 64, no dynamic table picks — the largest work-removal lever left
+    # after r4's ablation). Costs one kernel compile per scan key
+    # (minutes, amortized by the AOT store): right for a long-lived
+    # production key over 100M+ rows, wrong for interactive/one-shot
+    # scans. Overrides `ladder`.
+    static_key: bool = False
     # Batch upload width (per row at 3 outputs): "full64" (92 B: ships the
     # reference's own uncompressed 64-B point, src/cudasp_extension.cu:
     # 159-163, so the kernel SKIPS the on-device sqrt decompress — fastest
@@ -459,6 +467,8 @@ def _scan_impl(table, scan_private_key, spend_public_key, label_keys=(),
     # ScanConfig value always wins (same precedence as CUDASP_BLOCK_ROWS).
     ladder = cfg.ladder if cfg.ladder != "auto" else \
         os.environ.get("CUDASP_LADDER", cfg.ladder)
+    if cfg.static_key:
+        ladder = "static"
     upload = cfg.upload if cfg.upload != "auto" else \
         os.environ.get("CUDASP_UPLOAD", cfg.upload)
     executor = BatchExecutor(mesh=cfg.mesh, fused=cfg.fused,

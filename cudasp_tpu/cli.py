@@ -131,6 +131,10 @@ def main(argv=None) -> int:
     sp.add_argument("--ladder", default="auto",
                     choices=["auto", "fixed", "wnaf"],
                     help="scalar-ladder schedule (auto = fixed)")
+    sp.add_argument("--static-key", action="store_true",
+                    help="compile the scan key's ladder schedule into the "
+                         "kernel (one compile per key, ~43 vs 64 adds; "
+                         "for long-lived keys on large scans)")
     sp.add_argument("--block-rows", type=int, default=None,
                     help="Pallas kernel rows per grid step (default: "
                          "measured per device kind)")
@@ -195,7 +199,7 @@ def main(argv=None) -> int:
         labels = [_read_key(s, 64, "--label") for s in args.label]
 
         cfg = ScanConfig(backend=args.backend, upload=args.upload,
-                         ladder=args.ladder)
+                         ladder=args.ladder, static_key=args.static_key)
         if args.batch_size is not None:
             cfg.batch_size = args.batch_size
         if args.block_rows is not None:

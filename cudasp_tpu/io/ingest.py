@@ -246,6 +246,8 @@ class ScanSchedule(NamedTuple):
     n2: np.int32
     odd: np.ndarray       # (2, 34) int32 odd-digit schedule (Pallas ladder)
     wnaf: np.ndarray      # (2, 54) int32 wNAF step schedule (Pallas ladder)
+    wnaf_static: tuple    # trimmed hashable (nd, code) pairs — the per-key
+    #                       COMPILED ladder's program literals (static_key)
 
 
 def pack_query_keys(scan_key_blob: bytes, spend_blob: bytes,
@@ -256,7 +258,8 @@ def pack_query_keys(scan_key_blob: bytes, spend_blob: bytes,
 
     k = blob32_to_scalar(bytes(scan_key_blob))
     windows = ScanSchedule(*S.glv_windows(k),
-                           S.glv_odd_sched(k), S.glv_wnaf_steps(k))
+                           S.glv_odd_sched(k), S.glv_wnaf_steps(k),
+                           S.glv_wnaf_static(k))
     sx, sy = blob64_to_point(bytes(spend_blob))
     spend_x = F.int_to_limbs(sx)[:, None]
     spend_y = F.int_to_limbs(sy)[:, None]

@@ -386,6 +386,15 @@ def sqr_sub2_dbl(r, h3, v) -> jnp.ndarray:
         post=lambda s: s + (d8 - h3) + (d16 - (v + v)))
 
 
+def sqr_sub2(r, a, b) -> jnp.ndarray:
+    """r^2 - a - b (mod p): the ZADDU x3 line (Co-Z odd-multiple chain).
+    Bounds: same post shape as sqr_sub2_dbl with the milder (d8 - b) in
+    place of (d16 - 2v) — state <= 4.2e8 + 2*d8 < the audited 1.7e9 cap."""
+    d8 = _d8_col()
+    return _reduce_cols(_product_cols(r, r),
+                        post=lambda s: s + (d8 - a) + (d8 - b))
+
+
 def sqr_dbl_sub2(t, a, c) -> jnp.ndarray:
     """2*(t^2 - a - c) (mod p): the dbl d line."""
     d8 = _d8_col()

@@ -229,6 +229,29 @@ def _jadd_shared_core(px, py, pz, qx, qy, qz, qzz, qzc):
     return x3, y3, z3
 
 
+def _zaddu(x1, y1, x2, y2, z):
+    """Co-Z add-and-update (Goundar/Joye ZADDU, 5M+2S + 4 lazy subs):
+    P1=(x1,y1) and P2=(x2,y2) share the implicit Z; returns
+    (x3, y3, x1', y1', z3) with P1+P2 == (x3,y3,z3) and P1 == (x1',y1',z3)
+    — both outputs co-Z at z3 = z*(x1-x2), so a chain of these needs no
+    re-alignment. Replaces the 11M+3S shared-z adds of the odd-multiple
+    table chain (VERDICT r4 item 3; ~6 products saved per chain add).
+    Incomplete: x1 == x2 (P1 == +-P2) degenerates — excluded for the
+    chain's 2P vs (2m+1)P arguments when P has prime order; adversarial
+    off-curve rows get deterministic garbage (same GIGO contract as the
+    rest of the kernel)."""
+    e = F.sub(x1, x2)
+    c = F.sqr(e)
+    w1 = F.mul(x1, c)
+    w2 = F.mul(x2, c)
+    dy = F.sub(y1, y2)
+    a1 = F.mul(y1, F.sub(w1, w2))
+    x3 = F.sqr_sub2(dy, w1, w2)
+    y3 = F.mul_sub(dy, F.sub(w1, x3), a1)
+    z3 = F.mul(z, e)
+    return x3, y3, w1, a1, z3
+
+
 def _madd_core(px, py, pz, qx, qy):
     """Incomplete mixed add (8M+3S); caller owns degenerate-case selects."""
     z1z1 = F.sqr(pz)
@@ -351,7 +374,8 @@ def _limbs_from_words(w):
     return jnp.concatenate(rows, axis=0).astype(jnp.int32)
 
 
-def _scan_kernel(nlabels, nout, ladder, hi_only, wire, digits_ref,
+def _scan_kernel(nlabels, nout, ladder, hi_only, wire, static_sched,
+                 digits_ref,
                  bmask_ref, tw_ref, oh_ref, ol_ref, ovm_ref,
                  sx_ref, sy_ref, lx_ref, ly_ref, comb_ref,
                  out_ref, tabx, taby, sbytes_ref):
@@ -368,13 +392,15 @@ def _scan_kernel(nlabels, nout, ladder, hi_only, wire, digits_ref,
 
     @pl.when(bmask_ref[i] != 0)
     def _():
-        _scan_block(nlabels, nout, ladder, hi_only, wire, digits_ref,
+        _scan_block(nlabels, nout, ladder, hi_only, wire, static_sched,
+                    digits_ref,
                     tw_ref, oh_ref, ol_ref, ovm_ref,
                     sx_ref, sy_ref, lx_ref, ly_ref, comb_ref,
                     out_ref, tabx, taby, sbytes_ref)
 
 
-def _scan_block(nlabels, nout, ladder, hi_only, wire, digits_ref,
+def _scan_block(nlabels, nout, ladder, hi_only, wire, static_sched,
+                digits_ref,
                 tw_ref, oh_ref, ol_ref, ovm_ref,
                 sx_ref, sy_ref, lx_ref, ly_ref, comb_ref,
                 out_ref, tabx, taby, sbytes_ref):
@@ -455,14 +481,21 @@ def _scan_block(nlabels, nout, ladder, hi_only, wire, digits_ref,
             taby[0, m] = bx
             taby[1, m] = by
     else:
+        # Co-Z chain (VERDICT r4 item 3): 2P and P are aligned to a common
+        # Z once (3M+1S), then each ZADDU(2P, (2m-1)P) emits (2m+1)P AND
+        # re-expresses 2P at the new Z — 5M+2S per entry vs the previous
+        # shared-z Jacobian adds' 11M+3S (r4 ablation: this stage was 9.9%
+        # of the kernel; ~36 products/row removed).
         d2x, d2y, d2z = _dbl(bx, by, one)
-        qzz = F.sqr(d2z)
-        qzc = F.mul(d2z, qzz)
-        chain = [_madd_core(d2x, d2y, d2z, bx, by)]          # 3P
-        for _ in range(6):                                   # 5P .. 15P
-            c = chain[-1]
-            chain.append(_jadd_shared_core(c[0], c[1], c[2],
-                                           d2x, d2y, d2z, qzz, qzc))
+        t = F.sqr(d2z)
+        px_c = F.mul(bx, t)                  # P rescaled to 2P's Z
+        py_c = F.mul(by, F.mul(t, d2z))
+        chain = []
+        dxc, dyc, oxc, oyc, zc = d2x, d2y, px_c, py_c, d2z
+        for _ in range(7):                                   # 3P .. 15P
+            nx, ny, dxc, dyc, zc = _zaddu(dxc, dyc, oxc, oyc, zc)
+            chain.append((nx, ny, zc))
+            oxc, oyc = nx, ny
         zinvs = _inv_chain_raw([c[2] for c in chain])
         tabx[0, 0] = bx
         tabx[1, 0] = F.mul(beta, bx)
@@ -507,6 +540,34 @@ def _scan_block(nlabels, nout, ladder, hi_only, wire, digits_ref,
                                 (px, py, pz))
 
         ex, ey, ez = jax.lax.fori_loop(1, S.WNAF_STEPS, wstep, (px, py, pz))
+    elif ladder == "static":
+        # ---- PER-KEY COMPILED ladder (ScanConfig(static_key=True)): the
+        # scan key's merged-GLV width-5 wNAF schedule arrives as PROGRAM
+        # LITERALS (static_sched, a static jit arg), so doubling runs are
+        # straight-line code and every table pick is a static scratch
+        # index — none of the lax.cond / dynamic-fori_loop overhead that
+        # makes the data-driven "wnaf" mode lose to "fixed", and ~21
+        # fewer adds than the fixed schedule (43 vs 64) over the same
+        # 8-entry odd-multiple table. One compile per key; use for
+        # long-lived keys (the reference's per-row generic pmul has no
+        # such mode, src/cudasp_gpu.cu:719-784). Code layout per step:
+        # bits 0-2 odd-multiple idx, 3 negate-y, 4 GLV half, 5 live add.
+        steps = static_sched
+        if "ladder" in _ABLATE:               # timing probe
+            steps = steps[:4]
+        nd0, code0 = steps[0]                 # always a live add, 0 dbls
+        px = tabx[(code0 >> 4) & 1, code0 & 7]
+        py = taby[(code0 >> 3) & 1, code0 & 7]
+        pz = one
+        for nd, code in steps[1:]:
+            for _ in range(nd):
+                px, py, pz = _dbl(px, py, pz)
+            if code >> 5:
+                px, py, pz = _madd_core(
+                    px, py, pz,
+                    tabx[(code >> 4) & 1, code & 7],
+                    taby[(code >> 3) & 1, code & 7])
+        ex, ey, ez = px, py, pz
     else:
         # ---- GLV ladder over the odd-digit schedule (glv_odd_sched):
         # 32 windows x (4 dbl + 2 table adds). Digits are shared across
@@ -672,13 +733,18 @@ def _scan_block(nlabels, nout, ladder, hi_only, wire, digits_ref,
 @functools.partial(jax.jit,
                    static_argnames=("nlabels", "block_rows", "interpret",
                                     "ladder", "hi_only", "nout", "wire",
-                                    "pack_flags"))
+                                    "pack_flags", "static_sched"))
 def _scan_pallas_call(tweak_words, outputs_hi, outputs_lo, outputs_mask,
                       digits, spend_x, spend_y,
                       label_x, label_y, comb, blockmask=None, *, nlabels,
                       block_rows, interpret=False, ladder="fixed",
                       hi_only=False, nout=None, wire="x",
-                      pack_flags=False):
+                      pack_flags=False, static_sched=None):
+    # ladder="static" bakes static_sched (scalar.glv_wnaf_static(key), a
+    # hashable (nd, code) tuple) into the program — per-key compile.
+    if ladder == "static" and static_sched is None:
+        raise ValueError("ladder='static' needs static_sched "
+                         "(scalar.glv_wnaf_static of the scan key)")
     B = tweak_words.shape[1]
     TW = 16 if wire == "xy" else 8       # uploaded tweak word rows
     Mp = outputs_hi.shape[0]          # uploaded oh rows (packed for hi16)
@@ -731,10 +797,10 @@ def _scan_pallas_call(tweak_words, outputs_hi, outputs_lo, outputs_mask,
         ],
     )
     kern = (functools.partial(_scan_kernel, nlabels, M, ladder, hi_only,
-                              wire)
+                              wire, static_sched)
             if skip
             else functools.partial(_scan_block, nlabels, M, ladder,
-                                   hi_only, wire))
+                                   hi_only, wire, static_sched))
     args = ((digits, blockmask) if skip else (digits,)) + (
         tweak_words, outputs_hi, outputs_lo, outputs_mask,
         sxw, syw, lxw, lyw, comb)
@@ -765,7 +831,7 @@ def _scan_pallas_call(tweak_words, outputs_hi, outputs_lo, outputs_mask,
 @functools.lru_cache(maxsize=32)
 def _sharded_scan_fn(mesh, nlabels, block_rows, interpret, skip=False,
                      ladder="fixed", hi_only=False, nout=None, wire="x",
-                     pack_flags=False):
+                     pack_flags=False, static_sched=None):
     """shard_map-wrapped scan over the mesh's 'data' axis: each chip runs
     the Pallas grid over its local row shard; no collectives are needed
     inside the kernel (rows are independent — SURVEY.md §2.4). This is the
@@ -787,7 +853,8 @@ def _sharded_scan_fn(mesh, nlabels, block_rows, interpret, skip=False,
         functools.partial(_scan_pallas_call, nlabels=nlabels,
                           block_rows=block_rows, interpret=interpret,
                           ladder=ladder, hi_only=hi_only, nout=nout,
-                          wire=wire, pack_flags=pack_flags),
+                          wire=wire, pack_flags=pack_flags,
+                          static_sched=static_sched),
         mesh=mesh,
         in_specs=specs,
         out_specs=lane,
@@ -801,7 +868,7 @@ def scan_pallas_sharded(mesh, tweak_words, outputs_hi, outputs_lo,
                         label_x, label_y, comb, blockmask=None, *, nlabels,
                         block_rows=256, interpret=False, ladder="fixed",
                         hi_only=False, nout=None, wire="x",
-                        pack_flags=False):
+                        pack_flags=False, static_sched=None):
     """Multi-chip fused scan: batch lanes sharded over mesh axis 'data'.
     B must be a multiple of n_devices * block_rows. blockmask: (B //
     block_rows,) int32, nonzero where the block has live rows (lanes are
@@ -818,7 +885,7 @@ def scan_pallas_sharded(mesh, tweak_words, outputs_hi, outputs_lo,
                           hi_only if isinstance(hi_only, str)
                           else bool(hi_only),
                           None if nout is None else int(nout), str(wire),
-                          bool(pack_flags))
+                          bool(pack_flags), static_sched)
     args = (tweak_words, outputs_hi, outputs_lo, outputs_mask, digits,
             spend_x, spend_y, label_x, label_y, comb)
     if blockmask is not None:
@@ -958,7 +1025,8 @@ def pack_query_arrays(spend_x, spend_y, label_x, label_y,
 def scan_batch_pallas(tweak_blobs, row_valid, outputs_hi, outputs_lo,
                       outputs_valid, digits, spend_x, spend_y,
                       label_x, label_y, *, nlabels: int,
-                      block_rows: int = 256, ladder: str = "fixed"):
+                      block_rows: int = 256, ladder: str = "fixed",
+                      static_sched=None):
     """Pallas-fused scan over one packed batch. Same contract as
     pipeline.scan_batch_fused but takes raw (B, 64) tweak blobs and a
     scalar schedule instead of limb planes + the unsigned window pytree:
@@ -976,7 +1044,8 @@ def scan_batch_pallas(tweak_blobs, row_valid, outputs_hi, outputs_lo,
         jnp.asarray(spend_x), jnp.asarray(spend_y),
         jnp.asarray(label_x), jnp.asarray(label_y),
         comb_table_kernel(), jnp.asarray(bmask) if bmask is not None else None,
-        nlabels=nlabels, block_rows=block_rows, ladder=ladder)
+        nlabels=nlabels, block_rows=block_rows, ladder=ladder,
+        static_sched=static_sched)
     return flags[0, :B] != 0
 
 

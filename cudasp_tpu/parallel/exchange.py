@@ -108,7 +108,7 @@ def rebalanced_scan(mesh, tweak_words, outputs_hi, outputs_lo, outputs_mask,
                     src_hi, src_lo, digits, spend_x, spend_y,
                     label_x, label_y, comb, *, nlabels: int,
                     block_rows: int = 512, interpret: bool = False,
-                    ladder: str = "fixed"):
+                    ladder: str = "fixed", static_sched=None):
     """all_to_all-rebalanced sharded scan.
 
     Same contract as ops.kernels.scan_pallas_sharded plus (2, B)-style
@@ -128,5 +128,5 @@ def rebalanced_scan(mesh, tweak_words, outputs_hi, outputs_lo, outputs_mask,
     flags = K.scan_pallas_sharded(
         mesh, tw, oh, ol, ovm, digits, spend_x, spend_y, label_x, label_y,
         comb, bmask, nlabels=nlabels, block_rows=block_rows,
-        interpret=interpret, ladder=ladder)
+        interpret=interpret, ladder=ladder, static_sched=static_sched)
     return flags, shi, slo

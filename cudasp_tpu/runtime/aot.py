@@ -78,13 +78,17 @@ def _env_tag():
 
 def signature(*, nlabels: int, block_rows: int, ladder: str, hi_only,
               nout, wire: str, skip: bool, shapes,
-              pack_flags: bool = False) -> str:
+              pack_flags: bool = False, static_sched=None) -> str:
     """Stable digest of one kernel variant: the jit static args plus the
-    (shape, dtype) list of its array arguments."""
+    (shape, dtype) list of its array arguments. static_sched (the per-key
+    compiled ladder's literal schedule) is part of the program identity —
+    two scan keys never share an executable in static mode."""
     payload = json.dumps({
         "nlabels": nlabels, "block_rows": block_rows, "ladder": ladder,
         "hi_only": str(hi_only), "nout": nout, "wire": wire, "skip": skip,
         "pack_flags": bool(pack_flags),
+        "static_sched": (None if static_sched is None
+                         else [list(s) for s in static_sched]),
         "shapes": [[list(s), str(d)] for s, d in shapes],
     }, sort_keys=True)
     return hashlib.sha256(payload.encode()).hexdigest()[:24]
@@ -154,7 +158,8 @@ def lookup(digest: str):
 
 
 def maybe_call(args, *, nlabels, block_rows, ladder="fixed",
-               hi_only=False, nout=None, wire="x", pack_flags=False):
+               hi_only=False, nout=None, wire="x", pack_flags=False,
+               static_sched=None):
     """Run the scan kernel from the AOT store if a matching executable
     exists; returns the flags array or None (caller falls back to jit).
     `args` is the full positional tuple (tweaks..comb, blockmask-or-None)
@@ -163,7 +168,8 @@ def maybe_call(args, *, nlabels, block_rows, ladder="fixed",
                           ladder=ladder, hi_only=hi_only, nout=nout,
                           wire=wire, skip=args[-1] is not None,
                           shapes=arg_shapes(args),
-                          pack_flags=pack_flags))
+                          pack_flags=pack_flags,
+                          static_sched=static_sched))
     return None if fn is None else fn(*args)
 
 

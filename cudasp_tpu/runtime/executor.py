@@ -258,6 +258,17 @@ class BatchExecutor:
         sched = (scan_windows.wnaf if ladder == "wnaf"
                  else scan_windows.odd)
         digits = jnp.asarray(np.asarray(sched, np.int32))
+        # ladder="static": the scan key's wNAF schedule is a STATIC jit
+        # arg (per-key compiled program). ladder_id keys the warm-variant
+        # registry and the auto memo so two keys never share an entry.
+        ssched = (scan_windows.wnaf_static if ladder == "static" else None)
+        if ssched is None:
+            ladder_id = ladder
+        else:
+            import hashlib
+
+            ladder_id = "static:" + hashlib.sha256(
+                repr(ssched).encode()).hexdigest()[:12]
         sx, sy, lx, ly = (jnp.asarray(a) for a in K.pack_query_arrays(
             spend_x, spend_y, label_x, label_y, br))
         comb = K.comb_table_kernel()
@@ -348,7 +359,8 @@ class BatchExecutor:
                 return exchange.rebalanced_scan(
                     mesh, tw, oh, ol, ovm, shi, slo, digits, sx, sy, lx, ly,
                     comb, nlabels=nlabels, block_rows=br,
-                    interpret=interpret, ladder=ladder)
+                    interpret=interpret, ladder=ladder,
+                    static_sched=ssched)
             if mesh is None:
                 # bit-packed flags (1 B/row -> 1 bit/row D2H) whenever the
                 # lane width allows; hosts detect packing by dtype
@@ -363,19 +375,20 @@ class BatchExecutor:
                     f = aot.maybe_call(args, nlabels=nlabels,
                                        block_rows=br, ladder=ladder,
                                        hi_only=hi_only, nout=nout,
-                                       wire=wire, pack_flags=packf)
+                                       wire=wire, pack_flags=packf,
+                                       static_sched=ssched)
                     if f is not None:
                         return f
                 return K._scan_pallas_call(
                     *args, nlabels=nlabels, block_rows=br, ladder=ladder,
                     hi_only=hi_only, nout=nout, wire=wire,
-                    pack_flags=packf)
+                    pack_flags=packf, static_sched=ssched)
             packf = (dev[0].shape[1] // mesh.devices.size) % 32 == 0
             return K.scan_pallas_sharded(
                 mesh, *dev, digits, sx, sy, lx, ly, comb, bmask,
                 nlabels=nlabels, block_rows=br, interpret=interpret,
                 ladder=ladder, hi_only=hi_only, nout=nout, wire=wire,
-                pack_flags=packf)
+                pack_flags=packf, static_sched=ssched)
 
         # Host packing + H2D upload run on a feeder thread so the transfer
         # of batch i+1 rides alongside the kernel of batch i (the role of
@@ -398,8 +411,10 @@ class BatchExecutor:
             return False
 
         def vkey(width, M, tag):
-            """Identity of one compiled kernel variant (jit-signature-ish)."""
-            return (mesh, nlabels, br, ladder, int(width), int(M), tag)
+            """Identity of one compiled kernel variant (jit-signature-ish).
+            ladder_id folds the static schedule's digest in, so per-key
+            compiled programs never share warm/memo entries across keys."""
+            return (mesh, nlabels, br, ladder_id, int(width), int(M), tag)
 
         def cut_tag_for(M, want="hi8"):
             """The upload-cut variant actually usable at this outputs

@@ -42,6 +42,37 @@ def test_scan_pallas_call_signature_pinned():
         "**kw-tolerant test stubs — give them a default")
 
 
+def test_zaddu_cozy_odd_multiple_chain():
+    """Co-Z (ZADDU) odd-multiple chain == oracle (2m+1)*P for m=1..7:
+    the kernel's table-build replacement for the shared-z Jacobian adds
+    (5M+2S per entry). Runs the chain as plain jax ops outside Pallas."""
+    import jax.numpy as jnp
+    from cudasp_tpu.ops import kernels as K
+
+    rng = np.random.default_rng(23)
+    pts = [O.ec_mul((O.GX, O.GY), int(rng.integers(1, 2**48)))
+           for _ in range(4)]
+    bx = jnp.asarray(np.stack([F.int_to_limbs(p[0]) for p in pts], 1))
+    by = jnp.asarray(np.stack([F.int_to_limbs(p[1]) for p in pts], 1))
+    one = F.one_like(bx)
+    d2x, d2y, d2z = K._dbl(bx, by, one)
+    t = F.sqr(d2z)
+    oxc = F.mul(bx, t)
+    oyc = F.mul(by, F.mul(t, d2z))
+    dxc, dyc, zc = d2x, d2y, d2z
+    for m in range(1, 8):
+        nx, ny, dxc, dyc, zc = K._zaddu(dxc, dyc, oxc, oyc, zc)
+        zi = F.inv(zc)
+        zi2 = F.sqr(zi)
+        ax = np.asarray(F.canonical(F.mul(nx, zi2)))
+        ay = np.asarray(F.canonical(F.mul(ny, F.mul(zi, zi2))))
+        for j, p in enumerate(pts):
+            ex, ey = O.ec_mul(p, 2 * m + 1)
+            assert F.limbs_to_int(ax[:, j]) == ex, (m, j)
+            assert F.limbs_to_int(ay[:, j]) == ey, (m, j)
+        oxc, oyc = nx, ny
+
+
 def test_glv_signed_digits_reconstruct():
     rng = np.random.default_rng(11)
     for _ in range(20):

@@ -7,6 +7,8 @@ match words vs the reference's full 64-bit outputs entries
 (src/cudasp_extension.cu:207-221) and must stay exact end-to-end.
 """
 
+import os
+
 import numpy as np
 import pytest
 import jax
@@ -52,6 +54,152 @@ def test_glv_wnaf_steps_bounds():
         steps = S.glv_wnaf_steps(k)
         assert steps.shape == (2, S.WNAF_STEPS)
         assert steps[0, 0] == 0 and (steps[1, 0] >> 5) == 1
+
+
+def test_glv_wnaf_static_reconstruct():
+    """Trimmed static schedule (the per-key compiled ladder's literals)
+    evaluates to k*P for random keys (oracle EC): same semantics as the
+    data-driven wNAF schedule it is derived from, minus the padding."""
+    rng = np.random.default_rng(17)
+    for _ in range(6):
+        k = int.from_bytes(rng.bytes(32), "little") % O.N
+        if k == 0:
+            continue
+        P = O.ec_mul((O.GX, O.GY), int(rng.integers(1, 2**48)))
+        sched = S.glv_wnaf_static(k)
+        assert all(nd or (code >> 5) for nd, code in sched)  # trimmed
+        assert sched[0][0] == 0 and (sched[0][1] >> 5) == 1  # live init
+        lam = O.ec_mul(P, S.GLV_LAMBDA)
+        tab = [[O.ec_mul(base, 2 * m + 1) for m in range(8)]
+               for base in (P, lam)]
+        acc = None
+        for nd, code in sched:
+            for _ in range(nd):
+                acc = O.ec_add(acc, acc)
+            if code >> 5:
+                q = tab[(code >> 4) & 1][code & 7]
+                if (code >> 3) & 1:
+                    q = (q[0], (-q[1]) % O.P)
+                acc = O.ec_add(acc, q)
+        assert acc == O.ec_mul(P, k)
+
+
+def test_executor_static_key_plumbs_schedule(monkeypatch):
+    """BatchExecutor(ladder='static') must hand the kernel a non-None
+    static_sched (the scan key's trimmed wNAF tuple) and key its variant
+    registry per key. Stubbed kernel records the kwarg."""
+    import jax.numpy as jnp
+    from cudasp_tpu.ops import kernels as K
+    from cudasp_tpu.runtime.executor import BatchExecutor
+
+    seen = {}
+
+    def stub(tw, oh, ol, ovm, digits, sx_, sy_, lxq, lyq, comb,
+             bmask=None, **kw):
+        seen["static_sched"] = kw.get("static_sched")
+        seen["ladder"] = kw.get("ladder")
+        return ((ovm >> 31) & 1).astype(jnp.int8)
+
+    monkeypatch.setattr(K, "_scan_pallas_call", stub)
+    B = 128
+    tweaks = np.zeros((B, 64), np.uint8)
+    tweaks[:, 0] = 1
+    outputs = [[1] for _ in range(B)]
+    flat, offsets = ingest.outputs_to_csr(outputs)
+    batches = ingest.iter_packed(tweaks, flat, offsets, batch_size=B,
+                                 max_outputs=1, layout="kernel")
+    keys = ingest.pack_query_keys(b"\x01" + b"\x00" * 31, b"\x00" * 64, [])
+    windows, sx, sy, lx, ly, nl = keys
+    ex = BatchExecutor(backend="pallas", block_rows=128, ladder="static")
+    ex.run(batches, windows, sx, sy, lx, ly, nl)
+    assert seen["ladder"] == "static"
+    assert seen["static_sched"] == windows.wnaf_static
+    assert isinstance(seen["static_sched"], tuple)
+    assert len(seen["static_sched"]) >= 1   # scan key 1 -> a single add
+
+
+def test_static_ladder_jax_semantics():
+    """The static branch's exact index/sign semantics (tabx[(code>>4)&1],
+    taby[(code>>3)&1], unrolled doubling runs) evaluated as plain jax ops
+    on limb planes: final point == k*P for random keys. Fast (no Pallas
+    compile) — the in-kernel branch is the same code against scratch
+    refs, and hardware parity is pinned by bench.py's match assertion +
+    the slow-gated interpret test below."""
+    import jax.numpy as jnp
+    from cudasp_tpu.ops import field as F
+    from cudasp_tpu.ops import kernels as K
+
+    rng = np.random.default_rng(31)
+    pts = [O.ec_mul((O.GX, O.GY), int(rng.integers(1, 2**48)))
+           for _ in range(3)]
+    bx = jnp.asarray(np.stack([F.int_to_limbs(p[0]) for p in pts], 1))
+    by = jnp.asarray(np.stack([F.int_to_limbs(p[1]) for p in pts], 1))
+    one = F.one_like(bx)
+    beta = F.literal_planes(F.int_to_limbs(S.GLV_BETA), bx.shape[1])
+    # the kernel's table layout: tabx[h][m], taby[s][m]
+    tabx = [[None] * 8 for _ in range(2)]
+    taby = [[None] * 8 for _ in range(2)]
+    for m in range(8):
+        mx = [O.ec_mul(p, 2 * m + 1) for p in pts]
+        x = jnp.asarray(np.stack([F.int_to_limbs(q[0]) for q in mx], 1))
+        y = jnp.asarray(np.stack([F.int_to_limbs(q[1]) for q in mx], 1))
+        tabx[0][m] = x
+        tabx[1][m] = F.mul(beta, x)
+        taby[0][m] = y
+        taby[1][m] = F.neg(y)
+
+    for k in (0xDEADBEEF_CAFEBABE_12345678_9ABCDEF0_0F1E2D3C_4B5A6978_87695A4B_3C2D1E0F,
+              3, (1 << 255) - 19):
+        sched = S.glv_wnaf_static(k)
+        code0 = sched[0][1]
+        px = tabx[(code0 >> 4) & 1][code0 & 7]
+        py = taby[(code0 >> 3) & 1][code0 & 7]
+        pz = one
+        for nd, code in sched[1:]:
+            for _ in range(nd):
+                px, py, pz = K._dbl(px, py, pz)
+            if code >> 5:
+                px, py, pz = K._madd_core(
+                    px, py, pz, tabx[(code >> 4) & 1][code & 7],
+                    taby[(code >> 3) & 1][code & 7])
+        zi = F.inv(pz)
+        zi2 = F.sqr(zi)
+        ax = np.asarray(F.canonical(F.mul(px, zi2)))
+        ay = np.asarray(F.canonical(F.mul(py, F.mul(zi, zi2))))
+        for j, p in enumerate(pts):
+            ex, ey = O.ec_mul(p, k % O.N)
+            assert F.limbs_to_int(ax[:, j]) == ex, (hex(k), j)
+            assert F.limbs_to_int(ay[:, j]) == ey, (hex(k), j)
+
+
+@pytest.mark.skipif(jax.default_backend() == "tpu",
+                    reason="interpret parity is the CPU-side check")
+@pytest.mark.skipif(not os.environ.get("CUDASP_SLOW_TESTS"),
+                    reason="unrolled-ladder interpret compile is ~10 min "
+                           "on CPU (slow-gated like the other interpret "
+                           "parity suites)")
+def test_pallas_static_ladder_interpret_parity():
+    """Per-key compiled ladder (ladder='static'): golden parity on the
+    label case through one interpret compile of the unrolled program."""
+    import jax.numpy as jnp
+    from cudasp_tpu.oracle import vectors as V
+    from cudasp_tpu.oracle.encoding import blob32_to_scalar
+    from cudasp_tpu.ops import kernels as K
+    from tests.test_kernels import _kernel_case_arrays
+
+    case = V.CASES[3]
+    B = 128
+    (tweaks, oh, ol, ov, expect,
+     sx, sy, lx, ly, nl, digits) = _kernel_case_arrays(case, B)
+    sched = S.glv_wnaf_static(blob32_to_scalar(case.scan_key_blob))
+    planes = K.pack_batch_arrays(tweaks, np.ones(B, bool), oh, ol, ov, 128)
+    flags = np.asarray(K._scan_pallas_call(
+        *(jnp.asarray(a) for a in planes), jnp.asarray(digits),
+        jnp.asarray(sx), jnp.asarray(sy), jnp.asarray(lx),
+        jnp.asarray(ly), K.comb_table_kernel(), nlabels=nl,
+        block_rows=128, interpret=True, ladder="static",
+        static_sched=sched))
+    assert np.array_equal(flags[0, :B] != 0, expect)
 
 
 @pytest.mark.skipif(jax.default_backend() == "tpu",

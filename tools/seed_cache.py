@@ -67,33 +67,51 @@ def main():
     def z(shape):
         return jnp.zeros(shape, jnp.uint32)
 
+    # the static (per-key compiled) ladder variants are seeded for the
+    # bench scan key — a production deployment re-runs this seeder for its
+    # own key (the whole point of static_key: one compile per key, then
+    # the AOT store makes every process start warm)
+    ssched = S.glv_wnaf_static(blob32_to_scalar(V.SCAN_KEY_BIP352))
+
     skipmask = np.ones(w // br, np.int32)
     skipmask[-1] = 0
     variants = [
         ("full",   (z((8, w)), z((M, w)), z((M, w)), z((1, w))),
-         None, False, None, "x"),
+         None, False, None, "x", "fixed"),
         ("skip",   (z((8, w)), z((M, w)), z((M, w)), z((1, w))),
-         jnp.asarray(skipmask), False, None, "x"),
+         jnp.asarray(skipmask), False, None, "x", "fixed"),
         ("hi16",   (z((8, w)), z(((M + 2) // 2, w)), z((1, 1)), z((1, 1))),
-         None, "hi16", M, "x"),
+         None, "hi16", M, "x", "fixed"),
         ("hi8",    (z((8, w)), z(((M + 4) // 4, w)), z((1, 1)), z((1, 1))),
-         None, "hi8", M, "x"),
+         None, "hi8", M, "x", "fixed"),
         ("full64", (z((16, w)), z((M, w)), z((M, w)), z((1, w))),
-         None, False, None, "xy"),
+         None, False, None, "xy", "fixed"),
         # tail (skip) programs for the thin wires: the executor ships the
         # tail batch cut/uncompressed-64 once these are warm
         ("hi8+sk", (z((8, w)), z(((M + 4) // 4, w)), z((1, 1)), z((1, 1))),
-         jnp.asarray(skipmask), "hi8", M, "x"),
+         jnp.asarray(skipmask), "hi8", M, "x", "fixed"),
         ("f64+sk", (z((16, w)), z((M, w)), z((M, w)), z((1, w))),
-         jnp.asarray(skipmask), False, None, "xy"),
+         jnp.asarray(skipmask), False, None, "xy", "fixed"),
+        # per-key compiled ladder (bench key): full64 + hi8 wires, both
+        # skip forms — what a static_key production scan dispatches
+        ("st64",   (z((16, w)), z((M, w)), z((M, w)), z((1, w))),
+         None, False, None, "xy", "static"),
+        ("st64+s", (z((16, w)), z((M, w)), z((M, w)), z((1, w))),
+         jnp.asarray(skipmask), False, None, "xy", "static"),
+        ("st-h8",  (z((8, w)), z(((M + 4) // 4, w)), z((1, 1)), z((1, 1))),
+         None, "hi8", M, "x", "static"),
+        ("st-h8s", (z((8, w)), z(((M + 4) // 4, w)), z((1, 1)), z((1, 1))),
+         jnp.asarray(skipmask), "hi8", M, "x", "static"),
     ]
     skipped = 0
-    for name, dev, bmask, hi, nout, wire in variants:
+    for name, dev, bmask, hi, nout, wire, lad in variants:
+        ss = ssched if lad == "static" else None
         args = (*dev, digits, *dq, comb, bmask)
-        dig = aot.signature(nlabels=0, block_rows=br, ladder="fixed",
+        dig = aot.signature(nlabels=0, block_rows=br, ladder=lad,
                             hi_only=hi, nout=nout, wire=wire,
                             skip=bmask is not None,
-                            shapes=aot.arg_shapes(args), pack_flags=True)
+                            shapes=aot.arg_shapes(args), pack_flags=True,
+                            static_sched=ss)
         # an up-to-date entry (same signature, same device/jaxlib/source
         # tag) is left untouched: re-serializing is not byte-stable and
         # would churn the committed store for identical programs
@@ -106,8 +124,9 @@ def main():
             continue
         t0 = time.time()
         lowered = K._scan_pallas_call.lower(
-            *args, nlabels=0, block_rows=br, ladder="fixed",
-            hi_only=hi, nout=nout, wire=wire, pack_flags=True)
+            *args, nlabels=0, block_rows=br, ladder=lad,
+            hi_only=hi, nout=nout, wire=wire, pack_flags=True,
+            static_sched=ss)
         t1 = time.time()
         compiled = lowered.compile()
         t2 = time.time()
