@@ -258,6 +258,29 @@ def test_duckdb_bridge_rewrite_helpers():
     assert args[4] == "batch_size := 10"
 
 
+def test_duckdb_bridge_ignores_comments_and_strings():
+    """cudasp_scan( inside -- / block comments, string literals, or quoted
+    identifiers is SQL text, not a call: it must NOT be rewritten; a call
+    inside a CTE IS found; an unterminated block comment fails loudly
+    (VERDICT r4 weak #6)."""
+    from cudasp_tpu.sql.duckdb_bridge import _find_calls
+    from cudasp_tpu.sql.engine import SQLError
+
+    assert _find_calls("SELECT 1 -- cudasp_scan(t, a, b, c)\n") == []
+    assert _find_calls("SELECT 1 /* cudasp_scan(t, a, b, c) */") == []
+    assert _find_calls("SELECT 'cudasp_scan(t, a, b, c)'") == []
+    assert _find_calls('SELECT "cudasp_scan(" FROM t') == []
+    # commented call + a real one: only the real span is found, and a
+    # comment INSIDE the call body doesn't break paren balancing
+    sql = ("WITH x AS (SELECT * FROM cudasp_scan(t, k, s, /* ) */ []))\n"
+           "-- cudasp_scan(u, k, s, [])\n"
+           "SELECT * FROM x")
+    (s, e), = _find_calls(sql)
+    assert sql[s:e] == "cudasp_scan(t, k, s, /* ) */ [])"
+    with pytest.raises(SQLError, match="unterminated"):
+        _find_calls("SELECT 1 /* cudasp_scan(")
+
+
 def test_duckdb_bridge_make_engine_picks_duckdb():
     pytest.importorskip("duckdb")
     from cudasp_tpu.sql.duckdb_bridge import DuckDBEngine
