@@ -165,6 +165,20 @@ def main():
     print(f"# warmup (compile + prewarm): {time.time()-t0:.1f}s",
           file=sys.stderr)
 
+    # link-settle run (discarded): the first scan after a compile-heavy
+    # warmup consistently sees the axon tunnel collapsed to ~8 MB/s
+    # (observed on every fresh process, r5); one small untimed scan lets
+    # the link recover so the timed window starts clean
+    nset = min(args.rows, 2 * args.batch_size)
+    settle = {
+        "tweak_key": tweaks[: nset],
+        "outputs": (flat[: offsets[nset]], offsets[: nset + 1]),
+    }
+    t0 = time.time()
+    scan(settle, V.SCAN_KEY_BIP352, V.SPEND_BIP352, label_blobs,
+         batch_size=args.batch_size)
+    print(f"# link settle: {time.time()-t0:.1f}s", file=sys.stderr)
+
     times = []
     links = []       # measured H2D MB/s per run (executor per-batch timing)
     upload_mode = None
@@ -202,7 +216,15 @@ def main():
             print(f"# best two {two[0]:.1f}s/{two[1]:.1f}s disagree >10% "
                   f"(link drift) — extending repeats", file=sys.stderr)
     best = min(times)
-    spread = max(times) / best
+    # spread over runs in a comparable link window: runs whose measured
+    # link rate fell under half the best run's rate are tunnel collapses
+    # (weather, not engine) — excluded from spread, counted in the
+    # artifact so the error bar stays honest
+    best_link = links[int(np.argmin(times))]
+    core = [t for t, l in zip(times, links)
+            if not best_link or l >= 0.5 * best_link]
+    collapsed = len(times) - len(core)
+    spread = max(core) / min(core) if core else max(times) / best
     if spread > 1.3:
         # >1.3x run-to-run spread means the tunnel drifted during the
         # window (or a compile leaked into a timed run); the artifact
@@ -236,6 +258,7 @@ def main():
         "labels": args.labels,
         "repeats": len(times),
         "spread": round(spread, 3),
+        "collapsed_runs": collapsed,
         "upload_mode": upload_mode,
         "link_MBps": round(links[int(np.argmin(times))], 1),
         "link_MBps_range": [round(min(links), 1), round(max(links), 1)],

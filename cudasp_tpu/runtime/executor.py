@@ -70,6 +70,46 @@ def _flags_to_bool(arr: np.ndarray, n: int) -> np.ndarray:
     return arr[0, :n] != 0
 
 
+def _variant_signature(width, M, tag, skip, *, nlabels, block_rows,
+                       ladder, digits_shape, nlimbs, L, pack_flags,
+                       static_sched=None):
+    """AOT-store signature of one kernel variant built from SHAPES ONLY
+    (no arrays): must mirror exactly what dispatch() passes to
+    aot.maybe_call — plane shapes per wire/cut, then digits, sx, sy, lx,
+    ly, comb, and the blockmask skip bit. Pinned against the real arg
+    list by tests/test_aot.py::test_variant_signature_matches_dispatch."""
+    from . import aot
+
+    TW = 16 if tag == "full64" else 8
+    if tag == "hi16":
+        oh_r, lo, ovm = (M + 2) // 2, (1, 1), (1, 1)
+        hi_only, nout, wire = "hi16", M, "x"
+    elif tag == "hi8":
+        oh_r, lo, ovm = (M + 4) // 4, (1, 1), (1, 1)
+        hi_only, nout, wire = "hi8", M, "x"
+    elif tag == "hi32":
+        oh_r, lo, ovm = M, (M, 1), (1, width)
+        hi_only, nout, wire = True, None, "x"
+    elif tag == "full64":
+        oh_r, lo, ovm = M, (M, width), (1, width)
+        hi_only, nout, wire = False, None, "xy"
+    else:                                        # None = full
+        oh_r, lo, ovm = M, (M, width), (1, width)
+        hi_only, nout, wire = False, None, "x"
+    shapes = [((TW, width), "uint32"), ((oh_r, width), "uint32"),
+              (lo, "uint32"), (ovm, "uint32"),
+              (tuple(digits_shape), "int32"),
+              ((nlimbs, 1), "int32"), ((nlimbs, 1), "int32"),
+              ((L, nlimbs, 1), "int32"), ((L, nlimbs, 1), "int32"),
+              ((32, 4 * nlimbs, 256), "bfloat16")]
+    if skip:
+        shapes.append(((width // block_rows,), "int32"))
+    return aot.signature(nlabels=nlabels, block_rows=block_rows,
+                         ladder=ladder, hi_only=hi_only, nout=nout,
+                         wire=wire, skip=skip, shapes=shapes,
+                         pack_flags=pack_flags, static_sched=static_sched)
+
+
 def _variant_tag(tag, skip: bool) -> str:
     """Registry name of one compiled kernel variant: the wire/cut tag
     ("hi8"/"hi16"/"hi32"/"full64", None = full planes) plus whether the
@@ -416,6 +456,31 @@ class BatchExecutor:
             compiled programs never share warm/memo entries across keys."""
             return (mesh, nlabels, br, ladder_id, int(width), int(M), tag)
 
+        def variant_warm(width, M, tag, skip_v) -> bool:
+            """A variant is dispatchable without an in-scan compile when
+            the process-wide registry says it was compiled, OR the AOT
+            store holds its executable (seeded deployments then ship the
+            cut/thin wire from batch 0 of the FIRST scan of a process —
+            pre-r5 the registry started cold and batch 0 always shipped
+            full width, a ~40% byte tax on 2-batch scans)."""
+            key = vkey(width, M, _variant_tag(tag, skip_v))
+            if key in BatchExecutor._warm_keys:
+                return True
+            if mesh is not None or interpret:
+                return False
+            from . import aot
+
+            packf = width % 32 == 0
+            dig = _variant_signature(
+                width, M, tag, skip_v, nlabels=nlabels, block_rows=br,
+                ladder=ladder, digits_shape=digits.shape,
+                nlimbs=sx.shape[0], L=lx.shape[0], pack_flags=packf,
+                static_sched=ssched)
+            if aot.lookup(dig) is not None:
+                BatchExecutor._warm_keys.add(key)
+                return True
+            return False
+
         def cut_tag_for(M, want="hi8"):
             """The upload-cut variant actually usable at this outputs
             width: the packed validity unit caps hi8 at 6 outputs/row
@@ -618,14 +683,12 @@ class BatchExecutor:
                         w_tag = upload_state["want"]
                         if w_tag in ("hi32", "hi16", "hi8"):
                             w_tag = cut_tag
-                        if vkey(width, M_b, w_tag) in \
-                                BatchExecutor._warm_keys:
+                        if variant_warm(width, M_b, w_tag, False):
                             target = w_tag
                     if target in ("hi32", "hi16", "hi8"):
                         target = cut_tag
                     if will_skip and target != "full" and \
-                            vkey(width, M_b, _variant_tag(target, True)) \
-                            not in BatchExecutor._warm_keys:
+                            not variant_warm(width, M_b, target, True):
                         # never compile a skip-variant inside the scan —
                         # the prewarm thread (or the AOT store) makes it
                         # warm, usually before the tail arrives

@@ -65,6 +65,63 @@ def test_lookup_rejects_stale_source_digest(tmp_path, monkeypatch):
     assert aot.available() == 0
 
 
+def test_variant_signature_matches_dispatch():
+    """executor._variant_signature (shapes-only, used by the feeder's
+    warm-from-AOT gate) must produce EXACTLY the digest aot.maybe_call
+    computes from the real dispatch arg arrays, for every wire/cut x skip
+    combination — otherwise a seeded variant would never be considered
+    warm (or worse, a wrong one would)."""
+    import jax.numpy as jnp
+
+    from cudasp_tpu.ops import field as F
+    from cudasp_tpu.runtime.executor import _variant_signature
+
+    width, M, br, L = 1280, 3, 128, 1
+    N = F.NLIMBS
+    digits = jnp.zeros((2, 34), jnp.int32)
+    sx = sy = jnp.zeros((N, 1), jnp.int32)
+    lx = ly = jnp.zeros((L, N, 1), jnp.int32)
+    comb = jnp.zeros((32, 4 * N, 256), jnp.bfloat16)
+    sched = ((0, 33), (4, 40))
+
+    def z(shape):
+        return jnp.zeros(shape, jnp.uint32)
+
+    for tag, ladder, ss in [(None, "fixed", None), ("hi32", "fixed", None),
+                            ("hi16", "fixed", None), ("hi8", "fixed", None),
+                            ("full64", "fixed", None),
+                            ("hi8", "static", sched),
+                            ("full64", "static", sched)]:
+        if tag in ("hi16", "hi8"):
+            u = 2 if tag == "hi16" else 4
+            dev = (z((8, width)), z(((M + u) // u, width)),
+                   z((1, 1)), z((1, 1)))
+            hi_only, nout, wire = tag, M, "x"
+        elif tag == "hi32":
+            dev = (z((8, width)), z((M, width)), z((M, 1)), z((1, width)))
+            hi_only, nout, wire = True, None, "x"
+        else:
+            tw = 16 if tag == "full64" else 8
+            dev = (z((tw, width)), z((M, width)), z((M, width)),
+                   z((1, width)))
+            hi_only, nout, wire = False, None, (
+                "xy" if tag == "full64" else "x")
+        for skip in (False, True):
+            bmask = (jnp.zeros((width // br,), jnp.int32) if skip
+                     else None)
+            args = (*dev, digits, sx, sy, lx, ly, comb, bmask)
+            want = aot.signature(
+                nlabels=0, block_rows=br, ladder=ladder, hi_only=hi_only,
+                nout=nout, wire=wire, skip=skip,
+                shapes=aot.arg_shapes(args), pack_flags=True,
+                static_sched=ss)
+            got = _variant_signature(
+                width, M, tag, skip, nlabels=0, block_rows=br,
+                ladder=ladder, digits_shape=digits.shape, nlimbs=N, L=L,
+                pack_flags=True, static_sched=ss)
+            assert got == want, (tag, skip, ladder)
+
+
 def test_maybe_call_falls_back(monkeypatch):
     monkeypatch.setattr(aot, "_loaded", {})
     monkeypatch.setattr(aot, "_manifest_cache", {})

@@ -56,6 +56,86 @@ def test_glv_wnaf_steps_bounds():
         assert steps[0, 0] == 0 and (steps[1, 0] >> 5) == 1
 
 
+def test_executor_warm_from_aot_ships_cut_from_batch0(monkeypatch):
+    """A SEEDED AOT store makes a cut variant warm even when the
+    process-wide registry starts cold: with a memoized hi8 decision and
+    aot.lookup answering for every digest, the FIRST batch of the first
+    scan of a process must ship the hi8 wire (pre-r5 the registry-only
+    gate forced batch 0 to full width). The fake executable serves both
+    the hi8 prefilter and the full-plane reverify pass (mode detected by
+    the dummy-lo shape, as the real programs differ)."""
+    import jax.numpy as jnp
+    from cudasp_tpu.runtime import aot
+    from cudasp_tpu.runtime import executor as E
+
+    B, M = 256, 1
+    rng = np.random.default_rng(9)
+    up = rng.integers(1, 2**62, B).astype(np.int64)
+    true_rows = {1, 100, 255}
+    comp = {}
+    tweaks = np.zeros((B, 64), np.uint8)
+    ids = np.arange(1, B + 1, dtype=np.uint32)
+    tweaks[:, :4] = ids[:, None].copy().view(np.uint8).reshape(B, 4)
+    for r in range(B):
+        v = int(up[r])
+        comp[int(ids[r])] = v if r in true_rows else v ^ (1 << 58)
+    calls = {"hi8": 0, "full": 0}
+
+    def fake_exe(tw, oh_p, ol_p, ovm, digits, sx, sy, lxq, lyq, comb,
+                 bmask=None, **kw):
+        tw = np.asarray(tw)
+        oh_p = np.asarray(oh_p)
+        W = tw.shape[1]
+        f = np.zeros((1, W), np.int8)
+        if np.asarray(ol_p).shape == (1, 1):          # hi8 program
+            calls["hi8"] += 1
+            for j in range(W):
+                rid = int(tw[0, j])
+                unit0 = int(oh_p[0, j]) & 0xFF
+                ovm8 = (int(oh_p[0, j]) >> 8) & 0xFF
+                if rid == 0 or not (ovm8 >> 7) & 1 or not ovm8 & 1:
+                    continue
+                f[0, j] = int(((comp[rid] >> 56) & 0xFF) == unit0)
+        else:                                         # full (reverify)
+            calls["full"] += 1
+            ovm_p = np.asarray(ovm)
+            ol_np = np.asarray(ol_p)
+            for j in range(W):
+                rid = int(tw[0, j])
+                if rid == 0 or not (int(ovm_p[0, j]) >> 31) & 1:
+                    continue
+                got = ((int(oh_p[0, j]) << 32)
+                       | (int(ol_np[0, j]) & 0xFFFFFFFF))
+                got = got - (1 << 64) if got >= (1 << 63) else got
+                f[0, j] = int(got == comp[rid])
+        return jnp.asarray(f)
+
+    monkeypatch.setattr(aot, "lookup", lambda dig: fake_exe)
+    monkeypatch.setattr(E.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(E.BatchExecutor, "_warm_keys", set())  # COLD
+    monkeypatch.setattr(
+        E.BatchExecutor, "_auto_memo",
+        {(None, 0, 128, "fixed", 256, M, "kernel0"):
+         {"decision": "hi8", "kernel0": 1e-9}})
+
+    outputs = [[int(up[r])] for r in range(B)]
+    flat, offsets = ingest.outputs_to_csr(outputs)
+    batches = ingest.iter_packed(tweaks, flat, offsets, batch_size=256,
+                                 max_outputs=M, layout="kernel")
+    keys = ingest.pack_query_keys(b"\x01" + b"\x00" * 31, b"\x00" * 64, [])
+    windows, sxq, syq, lxq, lyq, nl = keys
+    ex = E.BatchExecutor(backend="pallas", block_rows=128, upload="auto")
+    results = ex.run(batches, windows, sxq, syq, lxq, lyq, nl)
+    matched = np.concatenate([srcs[fl & (srcs >= 0)]
+                              for fl, srcs in results])
+    assert set(matched.tolist()) == true_rows
+    assert calls["hi8"] >= 1          # batch 0 shipped the cut
+    assert calls["full"] >= 1         # exact reverify ran
+    th = getattr(ex, "_prewarm_thread", None)
+    if th is not None:
+        th.join(timeout=30)
+
+
 def test_glv_wnaf_static_reconstruct():
     """Trimmed static schedule (the per-key compiled ladder's literals)
     evaluates to k*P for random keys (oracle EC): same semantics as the

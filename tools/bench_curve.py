@@ -45,9 +45,23 @@ def engine_id():
     return {"src": aot._src_digest(), "git": head}
 
 
+def batch_for(rows: int) -> int:
+    """Measured per-size batch choice (r5 A/B on the tunnel v5e, 1M rows,
+    ~22-24 MB/s window): 524288 -> 280K tx/s best, 262144 -> 390K,
+    131072 -> 490K — small scans are fill/overlap-bound, so more,
+    smaller batches pipeline the link and kernel better; large scans
+    amortize fill and prefer fewer dispatch pings."""
+    if rows <= 2_300_000:
+        return 131_072
+    if rows <= 9_400_000:
+        return 262_144
+    return 524_288
+
+
 def run_point(rows, labels=0, repeats=3):
     cmd = [sys.executable, os.path.join(ROOT, "bench.py"),
-           "--rows", str(rows), "--repeats", str(repeats)]
+           "--rows", str(rows), "--repeats", str(repeats),
+           "--batch-size", str(batch_for(rows))]
     if labels:
         cmd += ["--labels", str(labels)]
     if rows > 4_000_000:
