@@ -258,6 +258,11 @@ def main():
         "labels": args.labels,
         "repeats": len(times),
         "spread": round(spread, 3),
+        # the repeat-extension criterion (two best runs within 10%):
+        # the precision of `value` itself; `spread` spans the whole core
+        # window and mostly measures link drift on small scans
+        "spread_best2": round(sorted(times)[1] / best, 3)
+        if len(times) > 1 else 1.0,
         "collapsed_runs": collapsed,
         "upload_mode": upload_mode,
         "link_MBps": round(links[int(np.argmin(times))], 1),
