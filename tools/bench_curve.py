@@ -46,12 +46,13 @@ def engine_id():
 
 
 def batch_for(rows: int) -> int:
-    """Measured per-size batch choice (r5 A/B on the tunnel v5e, 1M rows,
-    ~22-24 MB/s window): 524288 -> 280K tx/s best, 262144 -> 390K,
-    131072 -> 490K — small scans are fill/overlap-bound, so more,
-    smaller batches pipeline the link and kernel better; large scans
-    amortize fill and prefer fewer dispatch pings."""
-    if rows <= 2_300_000:
+    """Measured per-size batch choice (r5 A/Bs on the tunnel v5e):
+    1M: 131072 -> 490K tx/s vs 262144 -> 390K (fill/overlap-bound, more
+    smaller batches pipeline better); 2.3M: 262144 -> 402K at a 17 MB/s
+    link vs 131072 -> 310K at 24 (the ~45 ms per-batch ping tax crosses
+    over); 9.4M: 262144 -> 596K vs 524288 -> 537K; 32.7M: link-bound,
+    batch-neutral (616K vs 606-621K), keeps the AOT-seeded 524288."""
+    if rows <= 1_500_000:
         return 131_072
     if rows <= 9_400_000:
         return 262_144
