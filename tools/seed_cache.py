@@ -33,6 +33,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch-size", type=int, default=524288,
+                    help="batch size whose padded lane width to seed "
+                         "(bench default 524288; the API/CLI default is "
+                         "300000 — seed that too for user-facing hosts)")
+    ap.add_argument("--core-only", action="store_true",
+                    help="seed only the fixed-ladder production set "
+                         "(full, skip, hi8, skip+hi8) — for extra widths "
+                         "where the full 11-variant set is overkill")
+    args_cli = ap.parse_args()
+
     fresh = tempfile.mkdtemp(prefix="cudasp_seed_")
     os.environ["CUDASP_COMPILE_CACHE"] = fresh
     import numpy as np
@@ -51,7 +64,7 @@ def main():
     from cudasp_tpu.oracle.encoding import blob32_to_scalar
 
     br = tuning.block_rows_default()
-    w = ((524288 + br - 1) // br) * br
+    w = ((args_cli.batch_size + br - 1) // br) * br
     M = 3
     print(f"# device: {jax.devices()[0].device_kind}  width={w} br={br}",
           file=sys.stderr)
@@ -103,6 +116,9 @@ def main():
         ("st-h8s", (z((8, w)), z(((M + 4) // 4, w)), z((1, 1)), z((1, 1))),
          jnp.asarray(skipmask), "hi8", M, "x", "static"),
     ]
+    if args_cli.core_only:
+        variants = [v for v in variants
+                    if v[0] in ("full", "skip", "hi8", "hi8+sk")]
     skipped = 0
     for name, dev, bmask, hi, nout, wire, lad in variants:
         ss = ssched if lad == "static" else None
